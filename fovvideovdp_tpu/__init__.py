@@ -1,0 +1,38 @@
+"""fovvideovdp_tpu — TPU-native (JAX/XLA/Pallas) full-reference foveated
+video/image quality metric with the capabilities of FovVideoVDP.
+
+Public API mirrors the reference package (pyfvvdp/__init__.py) so existing
+user code ports with an import change.
+"""
+
+from fovvideovdp_tpu.fvvdp import fvvdp
+from fovvideovdp_tpu.display_model import (
+    fvvdp_display_photometry,
+    fvvdp_display_photo_eotf,
+    fvvdp_display_photo_absolute,
+    fvvdp_display_photo_gog,
+    fvvdp_display_geometry,
+)
+from fovvideovdp_tpu.video_source import (
+    fvvdp_video_source,
+    fvvdp_video_source_array,
+    fvvdp_video_source_packed_array,
+)
+from fovvideovdp_tpu.pupsnr import pu_psnr
+from fovvideovdp_tpu.io.images import load_image_as_array
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "fvvdp",
+    "pu_psnr",
+    "fvvdp_display_photometry",
+    "fvvdp_display_photo_eotf",
+    "fvvdp_display_photo_absolute",
+    "fvvdp_display_photo_gog",
+    "fvvdp_display_geometry",
+    "fvvdp_video_source",
+    "fvvdp_video_source_array",
+    "fvvdp_video_source_packed_array",
+    "load_image_as_array",
+]

@@ -1,0 +1,279 @@
+"""FovVideoVDP metric — public API.
+
+The object shell mirrors the reference API (pyfvvdp/fvvdp.py:58-230:
+constructor options, ``predict``, ``predict_video_source``, stats dict,
+feature export) around the functional jit-compiled core in
+:mod:`fovvideovdp_tpu.core`.  Orchestration differences from the reference:
+
+* Frames are processed in blocks through one XLA program per (resolution,
+  block size) instead of a per-frame Python loop; the temporal sliding window
+  is carried between blocks as the trailing filter_len-1 padded frames.
+* ``filter_len`` is per-call state, not object state (the reference mutates
+  the instance per video, fvvdp.py:228).
+* Heatmaps are rendered on device and transferred once per block as fp16.
+"""
+from __future__ import annotations
+
+import json
+import logging
+from typing import Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from fovvideovdp_tpu import utils
+from fovvideovdp_tpu.core import MetricCore
+from fovvideovdp_tpu.csf import CSFCache
+from fovvideovdp_tpu.display_model import (fvvdp_display_geometry,
+                                           fvvdp_display_photometry)
+from fovvideovdp_tpu.ops import masking as mask_ops
+from fovvideovdp_tpu.ops import temporal as temporal_ops
+from fovvideovdp_tpu.ops.pyramid import PyramidPlan
+from fovvideovdp_tpu.video_source import fvvdp_video_source_array
+
+# Heuristic frame-block sizing: cap pixels-per-block so a 4K block still fits
+# comfortably in HBM alongside its pyramid intermediates.
+_BLOCK_PIXEL_BUDGET = 6.0e7
+_MAX_BLOCK_FRAMES = 16
+
+
+class fvvdp:
+    """Full-reference foveated video/image quality metric (JOD units)."""
+
+    def __init__(self, display_name="standard_4k", display_photometry=None,
+                 display_geometry=None, color_space="sRGB", foveated=False,
+                 heatmap=None, quiet=False, device=None, temp_padding="replicate",
+                 use_checkpoints=False, block_frames=None):
+        assert heatmap in [None, "none", "raw", "threshold", "supra-threshold",
+                           "monochromatic"], "Unsupported heatmap type"
+        assert temp_padding in ["replicate", "circular", "pingpong"], \
+            "Unsupported temporal padding method"
+
+        self.quiet = quiet
+        self.foveated = foveated
+        self.heatmap = heatmap
+        self.color_space = color_space
+        self.temp_padding = temp_padding
+        self.use_checkpoints = use_checkpoints
+        self.block_frames = block_frames
+        self.do_heatmap = heatmap is not None and heatmap != "none"
+        self.device = device  # accepted for API compatibility; JAX manages devices
+
+        self.set_display_model(display_name, display_photometry=display_photometry,
+                               display_geometry=display_geometry)
+        self.load_config()
+
+        self.csf_cache = CSFCache()
+        self.omega = (0.0, 5.0)
+        self._luts = tuple(self.csf_cache.get(o, self.csf_sigma, self.k_cm)
+                           for o in self.omega)
+        self._cores: Dict = {}
+
+    # ------------------------------------------------------------------
+    def load_config(self):
+        self.parameters_file = utils.config_files.find("fvvdp_parameters.json")
+        logging.debug(f"Loading FovVideoVDP parameters from '{self.parameters_file}'")
+        parameters = utils.json2dict(self.parameters_file)
+        self.parameters = parameters
+
+        self.mask_p = parameters["mask_p"]
+        self.mask_c = parameters["mask_c"]
+        self.pu_dilate = parameters["pu_dilate"]
+        self.w_transient = parameters["w_transient"]
+        self.beta = parameters["beta"]
+        self.beta_t = parameters["beta_t"]
+        self.beta_tch = parameters["beta_tch"]
+        self.beta_sch = parameters["beta_sch"]
+        self.sustained_sigma = parameters["sustained_sigma"]
+        self.sustained_beta = parameters["sustained_beta"]
+        self.csf_sigma = parameters["csf_sigma"]
+        self.sensitivity_correction = parameters["sensitivity_correction"]
+        self.masking_model = parameters["masking_model"]
+        self.local_adapt = parameters["local_adapt"]
+        self.contrast = parameters["contrast"]
+        self.jod_a = parameters["jod_a"]
+        self.log_jod_exp = parameters["log_jod_exp"]
+        self.mask_q_sust = parameters["mask_q_sust"]
+        self.mask_q_trans = parameters["mask_q_trans"]
+        self.k_cm = parameters["k_cm"]
+        self.filter_len = parameters["filter_len"]
+        self.version = parameters["version"]
+        self.debug = False
+
+    def set_display_model(self, display_name="standard_4k", display_photometry=None,
+                          display_geometry=None):
+        if display_photometry is None:
+            self.display_photometry = fvvdp_display_photometry.load(display_name)
+            self.display_name = display_name
+        else:
+            self.display_photometry = display_photometry
+            self.display_name = "unspecified"
+        if display_geometry is None:
+            self.display_geometry = fvvdp_display_geometry.load(display_name)
+        else:
+            self.display_geometry = display_geometry
+        self.pix_per_deg = self.display_geometry.get_ppd()
+
+    def update_device(self, device):
+        """No-op under JAX (kept for API compatibility)."""
+        self.device = device
+
+    # ------------------------------------------------------------------
+    def predict(self, test_cont, reference_cont, dim_order="BCFHW",
+                frames_per_second=0, fixation_point=None):
+        """Predict quality for arrays (numpy/JAX). Returns (Q_JOD, stats)."""
+        test_vs = fvvdp_video_source_array(
+            test_cont, reference_cont, frames_per_second, dim_order=dim_order,
+            display_photometry=self.display_photometry,
+            color_space_name=self.color_space)
+        return self.predict_video_source(test_vs, fixation_point=fixation_point)
+
+    def _get_core(self, width: int, height: int) -> MetricCore:
+        key = (width, height, self.foveated, self.heatmap)
+        if key not in self._cores:
+            plan = PyramidPlan(width, height, self.pix_per_deg)
+            self._cores[key] = MetricCore(
+                plan, self.parameters, self._luts,
+                geometry=self.display_geometry, foveated=self.foveated,
+                heatmap=self.heatmap)
+        return self._cores[key]
+
+    def _pick_block_size(self, height: int, width: int, n_frames: int) -> int:
+        if self.block_frames is not None:
+            return max(1, min(self.block_frames, n_frames))
+        by_mem = int(_BLOCK_PIXEL_BUDGET // (height * width))
+        return int(max(1, min(_MAX_BLOCK_FRAMES, by_mem, n_frames)))
+
+    def predict_video_source(self, vid_source, fixation_point=None):
+        height, width, N_frames = vid_source.get_video_size()
+
+        if fixation_point is None:
+            fixation_point = np.array([width // 2, height // 2])
+        fixation_point = np.asarray(fixation_point, dtype=np.float32)
+
+        core = self._get_core(width, height)
+        plan = core.plan
+        rho_band = plan.get_freqs()
+        is_image = N_frames == 1
+
+        heatmap_frames = [None] * N_frames if self.do_heatmap else None
+
+        if is_image:
+            t, r = vid_source.get_luminance_block(0, 1)
+            fn = core.image_fn()
+            if self.foveated:
+                gaze = self._gaze_for_frames(fixation_point, 0, 1, N_frames)
+                Q_per_ch, heat = fn(t[0], r[0], jnp.asarray(gaze))
+            else:
+                Q_per_ch, heat = fn(t[0], r[0])
+            Q_per_ch = np.asarray(Q_per_ch)
+            if self.do_heatmap:
+                heatmap_frames[0] = np.asarray(heat[0])
+        else:
+            fps = vid_source.get_frames_per_second()
+            fl = temporal_ops.filter_len_for_fps(fps)
+            filt = temporal_ops.temporal_filters(
+                fps, fl, self.sustained_sigma, self.sustained_beta)
+            pad_idx = temporal_ops.padding_indices(N_frames, fl, self.temp_padding)
+
+            # Warm-up frames: the first fl-1 entries of the padded sequence.
+            carry_t, carry_r = vid_source.get_indexed_luminance_block(pad_idx[:fl - 1])
+
+            B = self._pick_block_size(height, width, N_frames)
+            Q_per_ch = np.zeros((plan.height, 2, N_frames), dtype=np.float32)
+            stream_idx = pad_idx[fl - 1:]  # frame index feeding each output frame
+            pos = 0
+            while pos < N_frames:
+                b = min(B, N_frames - pos)
+                blk = stream_idx[pos:pos + b]
+                if np.array_equal(blk, np.arange(pos, pos + b)):
+                    new_t, new_r = vid_source.get_luminance_block(pos, b)
+                else:  # circular/pingpong padding reorders the first frames
+                    new_t, new_r = vid_source.get_indexed_luminance_block(blk)
+                padded_t = jnp.concatenate([carry_t, new_t], axis=0)
+                padded_r = jnp.concatenate([carry_r, new_r], axis=0)
+                fn = core.video_block_fn(filt)
+                if self.foveated:
+                    gaze = self._gaze_for_frames(fixation_point, pos, b, N_frames)
+                    Q_blk, heat = fn(padded_t, padded_r, jnp.asarray(gaze))
+                else:
+                    Q_blk, heat = fn(padded_t, padded_r)
+                Q_per_ch[:, :, pos:pos + b] = np.asarray(Q_blk)
+                if self.do_heatmap:
+                    heat_np = np.asarray(heat)
+                    for i in range(b):
+                        heatmap_frames[pos + i] = heat_np[i]
+                if fl > 1:
+                    carry_t = padded_t[-(fl - 1):]
+                    carry_r = padded_r[-(fl - 1):]
+                else:
+                    carry_t = padded_t[:0]
+                    carry_r = padded_r[:0]
+                pos += b
+
+        Q_jod = self.do_pooling_and_jods(jnp.asarray(Q_per_ch))
+
+        stats = {
+            "Q_per_ch": np.asarray(Q_per_ch),
+            "rho_band": rho_band,
+            "frames_per_second": vid_source.get_frames_per_second(),
+            "width": width,
+            "height": height,
+            "N_frames": N_frames,
+        }
+        if self.do_heatmap:
+            # (1, c, F, H, W) float16 — same layout/dtype as the reference
+            stats["heatmap"] = np.stack(heatmap_frames, axis=1)[None]
+        return float(Q_jod), stats
+
+    def _gaze_for_frames(self, fixation_point: np.ndarray, start: int, count: int,
+                         n_frames: int) -> np.ndarray:
+        if fixation_point.ndim == 2:
+            return fixation_point[start:start + count].astype(np.float32)
+        return np.broadcast_to(fixation_point.astype(np.float32),
+                               (count, 2)).copy()
+
+    # ------------------------------------------------------------------
+    def do_pooling_and_jods(self, Q_per_ch):
+        """Band/channel/frame pooling + JOD regression (fvvdp.py:337-357)."""
+        return mask_ops.pool_to_jod(
+            Q_per_ch, self.w_transient, self.beta_sch, self.beta_tch,
+            self.beta_t, self.jod_a, self.log_jod_exp)
+
+    def get_temporal_filters(self, frames_per_s):
+        """(F, omega) for API parity with the reference (fvvdp.py:609-630)."""
+        fl = self.filter_len if self.filter_len > 0 \
+            else temporal_ops.filter_len_for_fps(frames_per_s)
+        F = temporal_ops.temporal_filters(frames_per_s, fl, self.sustained_sigma,
+                                          self.sustained_beta)
+        return jnp.asarray(F), jnp.asarray([0, 5])
+
+    # ------------------------------------------------------------------
+    def short_name(self):
+        return "FovVideoVDP"
+
+    def quality_unit(self):
+        return "JOD"
+
+    def get_info_string(self):
+        standard_str = f", ({self.display_name})" \
+            if self.display_name.startswith("standard_") else ""
+        fv_mode = "foveated" if self.foveated else "non-foveated"
+        return '"FovVideoVDP v{}, {:.4g} [pix/deg], Lpeak={:.5g}, Lblack={:.4g} [cd/m^2], {}{}"'.format(
+            self.version, self.pix_per_deg,
+            self.display_photometry.get_peak_luminance(),
+            self.display_photometry.get_black_level(), fv_mode, standard_str)
+
+    def write_features_to_json(self, stats: dict, dest_fname: str):
+        """Per-band/channel/frame feature export for metric retraining
+        (fvvdp.py:650-665)."""
+        Q_per_ch = stats["Q_per_ch"]  # [bb, cc, ff]
+        fmap = {}
+        for key, value in stats.items():
+            if key not in ("Q_per_ch", "heatmap"):
+                fmap[key] = value.tolist() if isinstance(value, np.ndarray) else value
+        for cc in range(Q_per_ch.shape[1]):
+            for bb in range(Q_per_ch.shape[0]):
+                fmap[f"t{cc}_b{bb}"] = Q_per_ch[bb, cc, :].tolist()
+        with open(dest_fname, "w", encoding="utf-8") as f:
+            json.dump(fmap, f, ensure_ascii=False, indent=4)

@@ -1,0 +1,84 @@
+"""Temporal channel decomposition: sustained / transient filters and the
+blockwise (batched-over-frames) temporal convolution.
+
+The reference maintains a per-frame sliding window on the GPU and re-does the
+full O(filter_len) weighted sum for every output frame from Python
+(pyfvvdp/fvvdp.py:248-300).  Here the temporal filter is applied to a whole
+block of frames in one fused XLA program: the padded frame sequence is a
+(F + fl - 1, H, W) array and each filter tap contributes one shifted slice —
+removing the per-frame dispatch entirely and letting XLA pipeline the
+multiply-adds with the downstream pyramid.
+"""
+from __future__ import annotations
+
+from typing import List
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def filter_len_for_fps(fps: float) -> int:
+    """250 ms of video, rounded up (pyfvvdp/fvvdp.py:228)."""
+    return int(np.ceil(250.0 / (1000.0 / fps)))
+
+
+def temporal_filters(fps: float, filter_len: int, sustained_sigma: float = 0.5,
+                     sustained_beta: float = 0.06) -> np.ndarray:
+    """Sustained (log-Gaussian) and transient (scaled derivative) filters.
+
+    Matches pyfvvdp/fvvdp.py:609-630 including its time-axis quirk: t spans
+    [0, fl/fps] *inclusive* over fl points, so dt = fl/(fps*(fl-1)).
+    Returns (2, filter_len) float32, F[0] sum-normalised.
+    """
+    t = np.linspace(0.0, filter_len / fps, filter_len)
+    F = np.zeros((2, filter_len))
+    F[0] = np.exp(-(np.log(t + 1e-4) - np.log(sustained_beta)) ** 2
+                  / (2.0 * sustained_sigma ** 2))
+    F[0] = F[0] / np.sum(F[0])
+
+    k2 = 0.062170507756932
+    Fdiff = F[0, 1:] - F[0, :-1]
+    F[1] = k2 * np.concatenate([Fdiff / (t[1] - t[0]), [0.0]])
+    return F.astype(np.float32)
+
+
+def padding_indices(n_frames: int, filter_len: int, mode: str) -> np.ndarray:
+    """Frame indices of the padded sequence (length n_frames + filter_len - 1)
+    whose sliding fl-windows replicate the reference's warm-up buffers
+    (pyfvvdp/fvvdp.py:258-285) for each temporal padding mode.
+
+    The 'circular' mode reproduces the reference's off-by-one: frame 0's
+    window is frames [(N-1-fl) .. (N-2)] mod N — frame 0 itself is absent.
+    """
+    fl, N = filter_len, n_frames
+    if mode == "replicate":
+        idx = [0] * (fl - 1) + list(range(N))
+    elif mode == "circular":
+        idx = [(N - 1 - fl + kk) % N for kk in range(fl)] + list(range(1, N))
+    elif mode == "pingpong":
+        pingpong = list(range(N)) + list(range(N - 2, 0, -1))
+        ind: List[int] = []
+        while len(ind) < fl - 1:
+            ind = ind + pingpong
+        idx = ind[-(fl - 1):] + [0] + list(range(1, N))
+    else:
+        raise RuntimeError(f'Unknown padding method "{mode}"')
+    return np.asarray(idx, dtype=np.int32)
+
+
+def apply_temporal_filters(padded: jnp.ndarray, F: jnp.ndarray) -> jnp.ndarray:
+    """Causal temporal filtering of a padded frame sequence.
+
+    padded: (F_out + fl - 1, ...) frames; F: (n_ch, fl) filters.
+    Returns (F_out, n_ch, ...): out[f, c] = sum_j F[c, j] * padded[f + fl-1 - j].
+    """
+    fl = F.shape[1]
+    n_out = padded.shape[0] - fl + 1
+    outs = []
+    for c in range(F.shape[0]):
+        acc = None
+        for j in range(fl):
+            term = F[c, j] * padded[fl - 1 - j: fl - 1 - j + n_out]
+            acc = term if acc is None else acc + term
+        outs.append(acc)
+    return jnp.stack(outs, axis=1)

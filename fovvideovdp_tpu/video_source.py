@@ -1,0 +1,275 @@
+"""Video/image sources: supply test & reference frames as absolute-luminance
+maps to the metric.
+
+API-compatible with the reference sources (pyfvvdp/video_source.py:14-209)
+but extended with a *blocked* access path — ``get_luminance_blocks`` yields
+device arrays of many frames at once so the metric can batch frames through
+one XLA program instead of fetching frame-by-frame.  Display-encoded ->
+luminance conversion (EOTF + RGB2Y) runs on device inside a jitted converter.
+
+Unlike the reference, uint16 input needs no int16 bit-packing tricks
+(video_source.py:124-137): JAX supports uint16 natively.  Both float32 and
+float16 inputs are accepted (the reference's float16 path was dead code due to
+a dtype-check bug, video_source.py:184).
+"""
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from typing import Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fovvideovdp_tpu import utils
+from fovvideovdp_tpu.display_model import fvvdp_display_photometry
+
+
+def reshuffle_dims(arr: np.ndarray, in_dims: str, out_dims: str) -> np.ndarray:
+    """Permute/insert singleton dims, e.g. "HWC" -> "BCFHW"
+    (reference semantics: pyfvvdp/video_source.py:43-69)."""
+    in_dims = in_dims.upper()
+    out_dims = out_dims.upper()
+
+    inter_dims = "".join(d for d in out_dims if d in in_dims)
+    for d in in_dims:
+        if d not in out_dims:
+            raise RuntimeError(
+                f'Dimension "{d}" missing in the target dimensions: "{out_dims}"')
+
+    perm = [in_dims.find(d) for d in inter_dims]
+    arr_p = np.transpose(arr, perm) if perm else arr
+
+    out_sh = []
+    k = 0
+    for d in out_dims:
+        if d in inter_dims:
+            out_sh.append(arr_p.shape[k])
+            k += 1
+        else:
+            out_sh.append(1)
+    return arr_p.reshape(out_sh)
+
+
+class fvvdp_video_source(ABC):
+    """Abstract source of test/reference frames in absolute cd/m^2."""
+
+    @abstractmethod
+    def get_video_size(self) -> Tuple[int, int, int]:
+        """(height, width, n_frames)"""
+
+    @abstractmethod
+    def get_frames_per_second(self) -> float:
+        ...
+
+    @abstractmethod
+    def get_test_frame(self, frame: int, device=None) -> jnp.ndarray:
+        """Single frame as (1, 1, 1, H, W) absolute luminance."""
+
+    @abstractmethod
+    def get_reference_frame(self, frame: int, device=None) -> jnp.ndarray:
+        ...
+
+    # -- blocked access (the TPU fast path) ---------------------------------
+    def get_luminance_block(self, start: int, count: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(test, reference) luminance blocks of shape (count, H, W).
+
+        Default implementation falls back to per-frame fetches; concrete
+        sources override with a batched conversion."""
+        t = jnp.concatenate([self.get_test_frame(start + i)[0, 0] for i in range(count)], axis=0)
+        r = jnp.concatenate([self.get_reference_frame(start + i)[0, 0] for i in range(count)], axis=0)
+        return t, r
+
+    def get_indexed_luminance_block(self, indices: np.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Like get_luminance_block but for an arbitrary frame index list
+        (needed for circular/pingpong temporal warm-up)."""
+        t = jnp.concatenate([self.get_test_frame(int(i))[0, 0] for i in indices], axis=0)
+        r = jnp.concatenate([self.get_reference_frame(int(i))[0, 0] for i in indices], axis=0)
+        return t, r
+
+
+class fvvdp_video_source_dm(fvvdp_video_source):
+    """Source that applies a photometric display model + RGB->Y conversion."""
+
+    def __init__(self, display_photometry="sdr_4k_30", color_space_name="sRGB"):
+        colorspaces_file = utils.config_files.find("color_spaces.json")
+        colorspaces = utils.json2dict(colorspaces_file)
+        if color_space_name not in colorspaces:
+            raise RuntimeError(f'Unknown color space: "{color_space_name}"')
+        self.color_to_luminance = colorspaces[color_space_name]["RGB2Y"]
+
+        if isinstance(display_photometry, str):
+            self.dm_photometry = fvvdp_display_photometry.load(display_photometry)
+        elif isinstance(display_photometry, fvvdp_display_photometry):
+            self.dm_photometry = display_photometry
+        else:
+            raise RuntimeError(
+                "display_photometry must be a string or fvvdp_display_photometry subclass")
+
+        self._lum_fn = None
+
+    def _luminance_fn(self):
+        """Jitted (frames, C, H, W)-encoded -> (frames, H, W) luminance."""
+        if self._lum_fn is None:
+            dm = self.dm_photometry
+            rgb2y = jnp.asarray(self.color_to_luminance, dtype=jnp.float32)
+
+            @jax.jit
+            def to_lum(frames):
+                x = frames
+                if x.dtype == jnp.uint8:
+                    x = x.astype(jnp.float32) / 255.0
+                elif x.dtype == jnp.uint16:
+                    x = x.astype(jnp.float32) / 65535.0
+                elif x.dtype == jnp.int16:
+                    # tolerate reference-style uint16-packed-in-int16 input
+                    x = (x.astype(jnp.int32) & 0xFFFF).astype(jnp.float32) / 65535.0
+                else:
+                    x = x.astype(jnp.float32)
+                L = dm.forward(x)
+                if L.shape[1] == 3:
+                    L = (L[:, 0] * rgb2y[0] + L[:, 1] * rgb2y[1] + L[:, 2] * rgb2y[2])
+                else:
+                    L = L[:, 0]
+                return L
+
+            self._lum_fn = to_lum
+        return self._lum_fn
+
+
+class fvvdp_video_source_array(fvvdp_video_source_dm):
+    """Frames from numpy/JAX arrays, any dim order, uint8/uint16/int16/float.
+
+    Parity: pyfvvdp/video_source.py:104-208.
+    """
+
+    def __init__(self, test_video, reference_video, fps, dim_order="BCFHW",
+                 display_photometry="sdr_4k_30", color_space_name="sRGB"):
+        super().__init__(display_photometry=display_photometry,
+                         color_space_name=color_space_name)
+
+        test_video = np.asarray(test_video)
+        reference_video = np.asarray(reference_video)
+
+        if test_video.shape != reference_video.shape:
+            raise RuntimeError(
+                "Test and reference image/video tensors must be exactly the same shape")
+        if len(dim_order) != test_video.ndim:
+            raise RuntimeError(
+                'Input tensor must have exactly as many dimensions as there are '
+                'characters in the "dims" parameter')
+
+        test_video = reshuffle_dims(test_video, dim_order, "BCFHW")
+        reference_video = reshuffle_dims(reference_video, dim_order, "BCFHW")
+
+        B, C, F, H, W = test_video.shape
+        if fps == 0 and F > 1:
+            raise RuntimeError(
+                "When passing video sequences, you must set 'frames_per_second' parameter")
+        if C not in (1, 3):
+            raise RuntimeError("The content must have either 1 or 3 colour channels.")
+
+        self.fps = fps
+        self.is_video = fps > 0
+        self.is_color = C == 3
+        self.test_video = test_video
+        self.reference_video = reference_video
+
+    def get_frames_per_second(self):
+        return self.fps
+
+    def get_video_size(self):
+        sh = self.test_video.shape
+        return (sh[3], sh[4], sh[2])
+
+    # -- blocked path -------------------------------------------------------
+    def _convert(self, video: np.ndarray, indices) -> jnp.ndarray:
+        raw = np.ascontiguousarray(video[0].transpose(1, 0, 2, 3)[indices])  # (n, C, H, W)
+        return self._luminance_fn()(jnp.asarray(raw))
+
+    def get_luminance_block(self, start, count):
+        sl = slice(start, start + count)
+        return self._convert(self.test_video, sl), self._convert(self.reference_video, sl)
+
+    def get_indexed_luminance_block(self, indices):
+        idx = np.asarray(indices, dtype=np.int64)
+        return self._convert(self.test_video, idx), self._convert(self.reference_video, idx)
+
+    # -- per-frame reference-compatible path --------------------------------
+    def get_test_frame(self, frame, device=None):
+        return self._convert(self.test_video, slice(frame, frame + 1))[None, None]
+
+    def get_reference_frame(self, frame, device=None):
+        return self._convert(self.reference_video, slice(frame, frame + 1))[None, None]
+
+
+class fvvdp_video_source_packed_array(fvvdp_video_source_dm):
+    """Flat-packed YUV/RGB buffers with a 7-int header, for batch/IPC use.
+
+    Header: [n_frames, h, w, bit_depth, chroma_ss, resize_h, resize_w]
+    (parity: pyfvvdp/video_source.py:210-292).
+    """
+
+    def __init__(self, test_video, reference_video, fps,
+                 display_photometry="sdr_4k_30", color_space_name="sRGB",
+                 yuv=True, resize_mode="bilinear"):
+        super().__init__(display_photometry, color_space_name)
+        self.fps = fps
+        self.is_video = fps > 0
+        self.test_video = np.asarray(test_video)
+        self.reference_video = np.asarray(reference_video)
+        self.yuv = yuv
+        self.color_space = color_space_name
+        self.resize_mode = resize_mode
+
+    def get_frames_per_second(self):
+        return self.fps
+
+    def get_video_size(self):
+        n, h, w = map(int, (self.test_video[0], self.test_video[5], self.test_video[6]))
+        # header: n, h, w, bit_depth, chroma_ss, resize_h, resize_w;
+        # the displayed size is the resize target
+        return h, w, n
+
+    def get_test_frame(self, frame, device=None):
+        return self._get_frame(self.test_video, frame)
+
+    def get_reference_frame(self, frame, device=None):
+        return self._get_frame(self.reference_video, frame)
+
+    def _get_frame(self, from_array, idx):
+        from fovvideovdp_tpu.io import yuv as yuv_io
+
+        n, h, w, bit_depth, chroma_ss, resize_h, resize_w = map(int, from_array[:7])
+        if self.yuv:
+            y_pixels = h * w
+            uv_shape = (h // 2, w // 2) if str(chroma_ss) == "420" else (h, w)
+            uv_pixels = uv_shape[0] * uv_shape[1]
+            fp = y_pixels + 2 * uv_pixels
+            base = 7 + idx * fp
+            Y = from_array[base: base + y_pixels].reshape(h, w)
+            u = from_array[base + y_pixels: base + y_pixels + uv_pixels].reshape(uv_shape)
+            v = from_array[base + y_pixels + uv_pixels: base + fp].reshape(uv_shape)
+            RGB = yuv_io.yuv_to_rgb(jnp.asarray(Y), jnp.asarray(u), jnp.asarray(v),
+                                    bit_depth, str(chroma_ss),
+                                    bt2020=(self.color_space == "bt2020nc"))
+            RGB = jnp.clip(RGB, 0, 1)
+            if (resize_h != h) or (resize_w != w):
+                RGB = jax.image.resize(RGB, (resize_h, resize_w, 3),
+                                       method=self.resize_mode)
+            frame = RGB.transpose(2, 0, 1)[None]  # (1, C, H, W)
+        else:
+            fp = resize_h * resize_w * 3
+            raw = from_array[7 + idx * fp: 7 + (idx + 1) * fp]
+            max_value = 255.0 if from_array.dtype == np.uint8 else 65535.0
+            frame = jnp.asarray(raw.reshape(resize_h, resize_w, 3),
+                                dtype=jnp.float32) / max_value
+            frame = frame.transpose(2, 0, 1)[None]
+
+        L = self.dm_photometry.forward(frame)
+        if L.shape[1] == 3:
+            c = self.color_to_luminance
+            L = L[:, 0] * c[0] + L[:, 1] * c[1] + L[:, 2] * c[2]
+        else:
+            L = L[:, 0]
+        return L[None, None]  # (1, 1, 1, H, W)
