@@ -1,0 +1,75 @@
+"""Benchmark: full-reference 4K video scoring throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: 30 fps real-time 4K scoring (BASELINE.md north-star; the reference
+publishes no timing numbers).
+
+Methodology matches the reference's own benchmark harness
+(pyfvvdp/fvvdp.py:726-735: content is placed on the device once, then the
+metric computation is timed): the video source is constructed once — its
+display-encoded uint8 frames live in HBM — and scoring (EOTF, temporal
+channels, pyramid, CSF, masking, pooling) is timed end-to-end over it.
+Ancillary numbers (first-call compile, per-image latency) go to stderr.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    from fovvideovdp_tpu import fvvdp
+    from fovvideovdp_tpu.video_source import fvvdp_video_source_array
+
+    H, W = 2160, 3840
+    fps = 30.0
+    n_frames = 60
+    rng = np.random.RandomState(0)
+
+    base = rng.randint(0, 255, size=(H, W, 1, 8), dtype=np.uint8)
+    test = np.clip(base.astype(np.int16) + rng.randint(-12, 12, size=base.shape),
+                   0, 255).astype(np.uint8)
+    reps = -(-n_frames // base.shape[-1])
+    ref_v = np.ascontiguousarray(np.tile(base, (1, 1, 1, reps))[..., :n_frames])
+    test_v = np.ascontiguousarray(np.tile(test, (1, 1, 1, reps))[..., :n_frames])
+
+    fv = fvvdp(display_name="standard_4k", heatmap=None)
+    vs = fvvdp_video_source_array(test_v, ref_v, fps, dim_order="HWCF",
+                                  display_photometry=fv.display_photometry)
+
+    # warm-up: compiles + uploads the source to HBM
+    t0 = time.time()
+    Q, _ = fv.predict_video_source(vs)
+    compile_s = time.time() - t0
+
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        Q, _ = fv.predict_video_source(vs)
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    fps_throughput = n_frames / best
+
+    # ancillary: per-image-pair latency at 4K (after compile warm-up)
+    img_t = test_v[..., 0]
+    img_r = ref_v[..., 0]
+    fv.predict(img_t, img_r, dim_order="HWC")
+    t0 = time.time()
+    fv.predict(img_t, img_r, dim_order="HWC")
+    img_ms = (time.time() - t0) * 1000
+
+    print(json.dumps({
+        "metric": "4k_video_fps_per_chip",
+        "value": round(fps_throughput, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps_throughput / 30.0, 3),
+    }))
+    print(f"# first-call (compile+upload) {compile_s:.1f}s | 60-frame 4K video "
+          f"{best:.2f}s ({fps_throughput:.1f} fps) | 4K image pair {img_ms:.0f} ms "
+          f"| Q={Q:.3f} | device {jax.devices()[0].device_kind}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -5,6 +5,17 @@ Public API mirrors the reference package (pyfvvdp/__init__.py) so existing
 user code ports with an import change.
 """
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    # Some environments force-register an accelerator plugin regardless of
+    # JAX_PLATFORMS; honour the user's explicit CPU request anyway.
+    import jax as _jax
+    try:
+        _jax.config.update("jax_default_device", _jax.devices("cpu")[0])
+    except Exception:
+        pass
+
 from fovvideovdp_tpu.fvvdp import fvvdp
 from fovvideovdp_tpu.display_model import (
     fvvdp_display_photometry,

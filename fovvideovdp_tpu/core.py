@@ -42,7 +42,8 @@ class MetricCore:
 
     def __init__(self, plan: PyramidPlan, params: Dict, luts: Sequence[Dict],
                  geometry=None, foveated: bool = False,
-                 heatmap: Optional[str] = None):
+                 heatmap: Optional[str] = None, content_mapping=None,
+                 ignore_boundary_pixels: bool = False, band_callback=None):
         self.plan = plan
         self.params = params
         self.luts = tuple(luts)
@@ -50,15 +51,31 @@ class MetricCore:
         self.foveated = foveated
         self.heatmap = heatmap
         self.do_heatmap = heatmap is not None and heatmap != "none"
+        self.content_mapping = content_mapping
+        self.ignore_boundary_pixels = ignore_boundary_pixels
+        self.band_callback = band_callback
+        self.local_adapt = params.get("local_adapt", "gpyr")
+        self.contrast = params.get("contrast", "weber")
+        self.masking_model = params.get("masking_model",
+                                        "min_mutual_masking_perc_norm2")
         self._fn_cache: Dict = {}
 
         # Static per-band foveation maps (resolution magnification does not
         # depend on gaze; eccentricity does and is computed in-graph).
         self._band_rho: List = []
         self._band_view_dir: List = []
+        # Non-foveated fast path: per (band, channel) the LUT collapses to a
+        # 1-D table in luminance (rho and ecc are compile-time constants), and
+        # per-pixel evaluation becomes a one-hot contraction — TPU gathers
+        # from the 3-D LUT are ~1000x slower.
+        self._band_tables: List = []
         rho_band = plan.get_freqs()
         for bb in range(plan.height):
             h, w = plan.level_shapes[bb]
+            if not foveated:
+                self._band_tables.append(tuple(
+                    csf_mod.reduce_lut_to_1d(self.luts[cc], float(rho_band[bb]), 0.0)
+                    for cc in range(len(self.luts))))
             if foveated:
                 xv = np.linspace(0.5, w - 0.5, w, dtype=np.float32)
                 yv = np.linspace(0.5, h - 0.5, h, dtype=np.float32)
@@ -81,6 +98,89 @@ class MetricCore:
         return self.geometry.pix2view_direction(
             (self.plan.W, self.plan.H), gaze[:, 0] + 0.5, gaze[:, 1] + 0.5)
 
+    # -- local adaptation / contrast variants --------------------------------
+    def _decompose_with_adaptation(self, R: jnp.ndarray):
+        """Pyramid decomposition + background-luminance computation.
+
+        Returns (bands, L_bkg per band (F, h, w), is_contrast) where
+        ``is_contrast`` says whether bands already hold Weber contrast (the
+        fused default path).  The non-default variants implement the MATLAB
+        core's ablation modes (matlab/fvvdp_core.m:214-300).
+        """
+        from fovvideovdp_tpu.ops.pyramid import gausspyr_expand
+        from fovvideovdp_tpu.utils import ImGaussFilt
+
+        plan = self.plan
+        la = self.local_adapt
+        log_c = self.contrast == "log"
+
+        if la == "gpyr" and not log_c:
+            bands, L_bkg_pyr = plan.decompose_contrast(R)
+            return bands, [lb[:, 0] for lb in L_bkg_pyr], True
+
+        bands, gbands = plan.decompose(R)
+        L_list = []
+
+        if la == "simple":
+            # 0.5 deg Gaussian blur of the reference sustained channel
+            L_adapt = R[:, 1]
+            if log_c:
+                L_adapt = jnp.power(10.0, L_adapt)
+            gf = ImGaussFilt(0.5 * plan.ppd)
+            L_adapt = gf.run(L_adapt[:, None])[:, 0]  # (F, H, W)
+        elif la == "global":
+            # geometric mean of the reference sustained channel, per frame
+            ref = R[:, 1]
+            if log_c:
+                ref = jnp.power(10.0, ref)
+            L_adapt = jnp.exp(jnp.mean(jnp.log(jnp.clip(ref, 1e-8, None)),
+                                       axis=(-2, -1)))
+
+        for bb in range(plan.height):
+            h, w = plan.level_shapes[bb]
+            if la == "gpyr":  # log-contrast gpyr (fvvdp.py:487-490)
+                g = gbands[bb + 1][:, 1]
+                if log_c:
+                    g = jnp.power(10.0, g)
+                L_bkg = gausspyr_expand(g, (h, w))
+            elif la == "gpyr0":
+                g = gbands[bb][:, 1]
+                L_bkg = jnp.power(10.0, g) if log_c else g
+            elif la == "gpyr2":
+                use_band = min(bb + 2, plan.height)
+                g = gbands[use_band][:, 1]
+                if log_c:
+                    g = jnp.power(10.0, g)
+                for br in range(use_band - 1, bb - 1, -1):
+                    g = gausspyr_expand(g, plan.level_shapes[br])
+                L_bkg = g
+            elif la == "simple":
+                L_bkg = jnp.clip(jax.image.resize(
+                    L_adapt, (L_adapt.shape[0], h, w), method="cubic"),
+                    1e-4, None)
+            elif la == "global":
+                L_bkg = jnp.broadcast_to(L_adapt[:, None, None],
+                                         (L_adapt.shape[0], h, w))
+            else:
+                raise RuntimeError(f"Unknown type of local adaptation: {la}")
+            L_list.append(L_bkg)
+        return bands, L_list, False
+
+    def _apply_masking(self, T, Rf, N_nCSF, cc):
+        p = self.params
+        model = self.masking_model
+        if model == "contrast_difference":
+            D = jnp.abs(T - Rf) / 0.05
+        elif model == "contrast_difference_perc_norm":
+            D = jnp.abs(T - Rf) / N_nCSF
+        elif model == "min_mutual_masking_perc_norm2":
+            q = (p["mask_q_sust"], p["mask_q_trans"])[cc]
+            return mask_ops.apply_masking_model(T, Rf, N_nCSF, p["mask_p"], q,
+                                                p["mask_c"])
+        else:
+            raise RuntimeError(f"Unknown masking model: {model}")
+        return jnp.clip(D, None, 1e4)
+
     def score_frames(self, R: jnp.ndarray, gaze: Optional[jnp.ndarray],
                      temp_ch: int) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         """Score a block of temporal responses R (F, 2*temp_ch, H, W).
@@ -92,9 +192,8 @@ class MetricCore:
         F = R.shape[0]
         sens_corr = 10.0 ** (p["sensitivity_correction"] / 20.0)
         w_temp_ch = (1.0, p["w_transient"])
-        q_per_ch = (p["mask_q_sust"], p["mask_q_trans"])
 
-        bands, L_bkg_pyr = plan.decompose_contrast(R)
+        bands, L_bkg_list, is_contrast = self._decompose_with_adaptation(R)
 
         gaze_dir = self._gaze_directions(gaze) if self.foveated else None
 
@@ -104,13 +203,24 @@ class MetricCore:
         for bb in range(plan.height):
             gain = plan.band_gain(bb, n_bands)
             band = bands[bb] * gain
-            L_bkg = L_bkg_pyr[bb][:, 0]          # (F, h, w)
-            npix = band.shape[-2] * band.shape[-1]
+            L_bkg = L_bkg_list[bb]               # (F, h, w)
+            h, w = band.shape[-2], band.shape[-1]
+            npix = h * w
 
+            ecc_for_mapping = None
             if self.foveated:
-                vd = self._band_view_dir[bb]      # (2, h, w)
-                diff = vd[:, None] - gaze_dir[:, :, None, None]
-                ecc = jnp.sqrt(jnp.sum(diff ** 2, axis=0))  # (F, h, w)
+                if self.content_mapping is not None:
+                    xv = np.linspace(0.5, w - 0.5, w, dtype=np.float32)
+                    yv = np.linspace(0.5, h - 0.5, h, dtype=np.float32)
+                    xx, yy = np.meshgrid(xv, yv)
+                    ecc = jax.vmap(lambda g: self.content_mapping.eccentricity(
+                        (w, h), jnp.asarray(xx), jnp.asarray(yy),
+                        g[0] + 0.5, g[1] + 0.5))(gaze)  # (F, h, w)
+                    ecc_for_mapping = ecc
+                else:
+                    vd = self._band_view_dir[bb]  # (2, h, w)
+                    diff = vd[:, None] - gaze_dir[:, :, None, None]
+                    ecc = jnp.sqrt(jnp.sum(diff ** 2, axis=0))  # (F, h, w)
                 rho = self._band_rho[bb]          # (h, w), broadcasts over F
             else:
                 ecc = 0.0
@@ -119,11 +229,42 @@ class MetricCore:
             Q_cc = []
             D_acc = None
             for cc in range(temp_ch):
-                S = csf_mod.sensitivity(self.luts[cc], rho, L_bkg, ecc) * sens_corr
-                N_nCSF = 1.0 / S
-                D = mask_ops.apply_masking_model(
-                    band[:, cc * 2], band[:, cc * 2 + 1], N_nCSF,
-                    p["mask_p"], q_per_ch[cc], p["mask_c"])
+                T_f = band[:, cc * 2]
+                R_f = band[:, cc * 2 + 1]
+                if not is_contrast and self.contrast != "log":
+                    T_f = jnp.clip(T_f / L_bkg, None, 1000.0)
+                    R_f = jnp.clip(R_f / L_bkg, None, 1000.0)
+
+                if self.foveated:
+                    S = csf_mod.sensitivity(self.luts[cc], rho, L_bkg, ecc)
+                else:
+                    S = csf_mod.sensitivity_1d(self.luts[cc],
+                                               self._band_tables[bb][cc], L_bkg)
+                S = S * sens_corr
+                if self.contrast == "log":
+                    # log-contrast threshold (fvvdp.py:450,539-548)
+                    N_nCSF = jnp.log10(1.0 + jnp.minimum(1.0 / S, 0.9999999))
+                else:
+                    N_nCSF = 1.0 / S
+
+                if self.band_callback is not None:
+                    jax.debug.callback(self.band_callback, bb, plan.height, cc,
+                                       T_f, R_f, N_nCSF)
+
+                D = self._apply_masking(T_f, R_f, N_nCSF, cc)
+
+                if self.ignore_boundary_pixels:
+                    # edge pixels see invalid symmetric padding
+                    # (matlab/fvvdp_core.m:369-379)
+                    cy, cx = min(3, h), min(3, w)
+                    mask = jnp.zeros((h, w), dtype=D.dtype)
+                    mask = mask.at[cy:h - cy, cx:w - cx].set(1.0)
+                    D = D * mask
+                if ecc_for_mapping is not None:
+                    # nothing behind the viewer's head is visible
+                    # (matlab/fvvdp_core.m:387-391)
+                    D = jnp.where(ecc_for_mapping > 105.0, 0.0, D)
+
                 q = jnp.power(
                     jnp.sum(jnp.power(jnp.abs(D), p["beta"]), axis=(-2, -1)),
                     1.0 / p["beta"]) / (float(npix) ** (1.0 / p["beta"]))
@@ -167,6 +308,23 @@ class MetricCore:
             else:
                 def fn(T, Rf):
                     R = jnp.stack([T, Rf], axis=0)[None]
+                    return self.score_frames(R, None, temp_ch=1)
+            self._fn_cache[key] = jax.jit(fn)
+        return self._fn_cache[key]
+
+    def image_block_fn(self):
+        """Jitted scorer for a block of frames scored WITHOUT temporal
+        channels (the MATLAB `do_temporal_channels=false` ablation,
+        fvvdp_core.m:73): inputs (B, H, W) luminance pairs."""
+        key = ("image_block", self.foveated, self.heatmap)
+        if key not in self._fn_cache:
+            if self.foveated:
+                def fn(T, Rf, gaze):
+                    R = jnp.stack([T, Rf], axis=1)  # (B, 2, H, W)
+                    return self.score_frames(R, gaze, temp_ch=1)
+            else:
+                def fn(T, Rf):
+                    R = jnp.stack([T, Rf], axis=1)
                     return self.score_frames(R, None, temp_ch=1)
             self._fn_cache[key] = jax.jit(fn)
         return self._fn_cache[key]

@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 from typing import Dict, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -79,6 +80,67 @@ class CSFCache:
     def _generate(self, omega: float, sigma: float, k_cm: float):
         from fovvideovdp_tpu import csf_generator
         return csf_generator.precompute_lut(omega, sigma, k_cm)
+
+
+def _interpolants_np(x_q: float, x: np.ndarray):
+    """Host-side scalar version of the reference cell search
+    (pyfvvdp/interp.py:11-20) used to pre-reduce LUT axes at trace time."""
+    n = x.shape[0]
+    i_hi = int(np.searchsorted(x, x_q, side="left"))
+    i_hi = min(i_hi, n - 1)
+    i_lo = min(max(i_hi - 1, 0), n - 1)
+    frac = (x_q - x[i_lo]) / (x[i_hi] - x[i_lo] + 1e-6)
+    if i_hi == i_lo or frac < 0.0:
+        frac = 0.0
+    return i_lo, i_hi, float(frac)
+
+
+def reduce_lut_to_1d(lut: Dict[str, jnp.ndarray], rho: float, ecc: float) -> np.ndarray:
+    """Collapse the 3-D LUT to a 32-entry S_log(Y_log) table for fixed
+    (rho, ecc) — exact two-axis slice of the trilinear interpolation.
+
+    Used for the non-foveated fast path: per band the spatial frequency and
+    eccentricity are compile-time constants, so the only per-pixel axis is
+    background luminance."""
+    rho_log = np.asarray(lut["rho_log"])
+    ecc_sqrt = np.asarray(lut["ecc_sqrt"])
+    S_log = np.asarray(lut["S_log"])  # [Y, rho, ecc]
+
+    rho_q = np.log2(np.clip(rho, float(np.asarray(lut["rho"])[0]),
+                            float(np.asarray(lut["rho"])[-1])))
+    ecc_q = np.sqrt(np.clip(ecc, float(np.asarray(lut["ecc"])[0]),
+                            float(np.asarray(lut["ecc"])[-1])))
+
+    i_lo, i_hi, fi = _interpolants_np(rho_q, rho_log)
+    k_lo, k_hi, fk = _interpolants_np(ecc_q, ecc_sqrt)
+
+    t = ((S_log[:, i_lo, k_lo] * (1 - fi) + S_log[:, i_hi, k_lo] * fi) * (1 - fk)
+         + (S_log[:, i_lo, k_hi] * (1 - fi) + S_log[:, i_hi, k_hi] * fi) * fk)
+    return t.astype(np.float32)
+
+
+def sensitivity_1d(lut: Dict[str, jnp.ndarray], table_1d, L_bkg):
+    """Per-pixel S from a pre-reduced 1-D S_log(Y_log) table.
+
+    The Y grid is uniform in log2 space, so the cell index is direct
+    arithmetic; the 2-point interpolation is expressed as a one-hot
+    contraction, which XLA fuses into dense VPU/MXU work — per-pixel
+    gathers are pathologically slow on TPU.
+    """
+    Y_log = lut["Y_log"]
+    y0 = Y_log[0]
+    dy = (Y_log[-1] - Y_log[0]) / (Y_log.shape[0] - 1)
+    n = Y_log.shape[0]
+
+    Yq = jnp.log2(jnp.clip(L_bkg, lut["Y"][0], lut["Y"][-1]))
+    u = jnp.clip((Yq - y0) / dy, 0.0, float(n - 1))
+    i0 = jnp.floor(u).astype(jnp.int32)
+    f = u - i0
+    i1 = jnp.minimum(i0 + 1, n - 1)
+    oh = (jax.nn.one_hot(i0, n, dtype=L_bkg.dtype) * (1.0 - f)[..., None]
+          + jax.nn.one_hot(i1, n, dtype=L_bkg.dtype) * f[..., None])
+    s_log = oh @ jnp.asarray(table_1d)
+    return jnp.power(2.0, s_log)
 
 
 def sensitivity(lut: Dict[str, jnp.ndarray], rho, L_bkg, ecc):

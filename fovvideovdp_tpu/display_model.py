@@ -63,11 +63,28 @@ def lin2pq(L):
 # ---------------------------------------------------------------------------
 
 class fvvdp_display_photometry(ABC):
-    """Maps display-encoded pixel values to absolute linear luminance."""
+    """Maps display-encoded pixel values to absolute linear luminance.
+
+    Instances are hashable by configuration so they can be passed as static
+    arguments to jitted conversion functions — two photometry objects with the
+    same parameters share one compiled program.
+    """
 
     @abstractmethod
     def forward(self, V):
         ...
+
+    def _config_key(self):
+        return (type(self),) + tuple(sorted(
+            (k, v) for k, v in self.__dict__.items()
+            if isinstance(v, (int, float, str, bool, type(None)))))
+
+    def __hash__(self):
+        return hash(self._config_key())
+
+    def __eq__(self, other):
+        return (isinstance(other, fvvdp_display_photometry)
+                and self._config_key() == other._config_key())
 
     @abstractmethod
     def get_peak_luminance(self) -> float:

@@ -43,7 +43,10 @@ class fvvdp:
     def __init__(self, display_name="standard_4k", display_photometry=None,
                  display_geometry=None, color_space="sRGB", foveated=False,
                  heatmap=None, quiet=False, device=None, temp_padding="replicate",
-                 use_checkpoints=False, block_frames=None):
+                 use_checkpoints=False, block_frames=None,
+                 do_temporal_channels=True, ignore_boundary_pixels=False,
+                 band_callback=None, content_mapping=None,
+                 parameter_overrides=None):
         assert heatmap in [None, "none", "raw", "threshold", "supra-threshold",
                            "monochromatic"], "Unsupported heatmap type"
         assert temp_padding in ["replicate", "circular", "pingpong"], \
@@ -58,10 +61,15 @@ class fvvdp:
         self.block_frames = block_frames
         self.do_heatmap = heatmap is not None and heatmap != "none"
         self.device = device  # accepted for API compatibility; JAX manages devices
+        # research/ablation options of the MATLAB core (fvvdp_core.m:60-77)
+        self.do_temporal_channels = do_temporal_channels
+        self.ignore_boundary_pixels = ignore_boundary_pixels
+        self.band_callback = band_callback
+        self.content_mapping = content_mapping
 
         self.set_display_model(display_name, display_photometry=display_photometry,
                                display_geometry=display_geometry)
-        self.load_config()
+        self.load_config(parameter_overrides)
 
         self.csf_cache = CSFCache()
         self.omega = (0.0, 5.0)
@@ -70,10 +78,15 @@ class fvvdp:
         self._cores: Dict = {}
 
     # ------------------------------------------------------------------
-    def load_config(self):
+    def load_config(self, parameter_overrides=None):
         self.parameters_file = utils.config_files.find("fvvdp_parameters.json")
         logging.debug(f"Loading FovVideoVDP parameters from '{self.parameters_file}'")
         parameters = utils.json2dict(self.parameters_file)
+        if parameter_overrides:
+            unknown = set(parameter_overrides) - set(parameters)
+            if unknown:
+                raise RuntimeError(f"Unknown metric parameter(s): {sorted(unknown)}")
+            parameters = dict(parameters, **parameter_overrides)
         self.parameters = parameters
 
         self.mask_p = parameters["mask_p"]
@@ -129,13 +142,16 @@ class fvvdp:
         return self.predict_video_source(test_vs, fixation_point=fixation_point)
 
     def _get_core(self, width: int, height: int) -> MetricCore:
-        key = (width, height, self.foveated, self.heatmap)
+        key = (width, height, self.foveated, self.heatmap,
+               self.ignore_boundary_pixels)
         if key not in self._cores:
             plan = PyramidPlan(width, height, self.pix_per_deg)
             self._cores[key] = MetricCore(
                 plan, self.parameters, self._luts,
                 geometry=self.display_geometry, foveated=self.foveated,
-                heatmap=self.heatmap)
+                heatmap=self.heatmap, content_mapping=self.content_mapping,
+                ignore_boundary_pixels=self.ignore_boundary_pixels,
+                band_callback=self.band_callback)
         return self._cores[key]
 
     def _pick_block_size(self, height: int, width: int, n_frames: int) -> int:
@@ -158,8 +174,15 @@ class fvvdp:
 
         heatmap_frames = [None] * N_frames if self.do_heatmap else None
 
+        log_c = self.contrast == "log"
+
+        def _enc(x):
+            # log-contrast mode feeds log10 luminance into the pipeline
+            return jnp.log10(jnp.clip(x, 1e-6, None)) if log_c else x
+
         if is_image:
             t, r = vid_source.get_luminance_block(0, 1)
+            t, r = _enc(t), _enc(r)
             fn = core.image_fn()
             if self.foveated:
                 gaze = self._gaze_for_frames(fixation_point, 0, 1, N_frames)
@@ -169,6 +192,35 @@ class fvvdp:
             Q_per_ch = np.asarray(Q_per_ch)
             if self.do_heatmap:
                 heatmap_frames[0] = np.asarray(heat[0])
+        elif not self.do_temporal_channels:
+            # Ablation: score every video frame as an independent image
+            # (matlab/fvvdp_core.m:73,112).
+            B = self._pick_block_size(height, width, N_frames)
+            Q_per_ch = np.zeros((plan.height, 2, N_frames), dtype=np.float32)
+            fn = core.image_block_fn()
+            pending = None
+            pos = 0
+            while pos < N_frames:
+                b = min(B, N_frames - pos)
+                t, r = vid_source.get_luminance_block(pos, b)
+                t, r = _enc(t), _enc(r)
+                if b < B:
+                    t = jnp.concatenate([t, jnp.repeat(t[-1:], B - b, axis=0)])
+                    r = jnp.concatenate([r, jnp.repeat(r[-1:], B - b, axis=0)])
+                if self.foveated:
+                    gaze = self._gaze_for_frames(fixation_point, pos, b, N_frames)
+                    if b < B:
+                        gaze = np.concatenate(
+                            [gaze, np.repeat(gaze[-1:], B - b, axis=0)], axis=0)
+                    Q_blk, heat = fn(t, r, jnp.asarray(gaze))
+                else:
+                    Q_blk, heat = fn(t, r)
+                if pending is not None:
+                    self._drain_block(pending, Q_per_ch, heatmap_frames)
+                pending = (pos, b, Q_blk, heat)
+                pos += b
+            if pending is not None:
+                self._drain_block(pending, Q_per_ch, heatmap_frames)
         else:
             fps = vid_source.get_frames_per_second()
             fl = temporal_ops.filter_len_for_fps(fps)
@@ -178,10 +230,17 @@ class fvvdp:
 
             # Warm-up frames: the first fl-1 entries of the padded sequence.
             carry_t, carry_r = vid_source.get_indexed_luminance_block(pad_idx[:fl - 1])
+            carry_t, carry_r = _enc(carry_t), _enc(carry_r)
 
             B = self._pick_block_size(height, width, N_frames)
             Q_per_ch = np.zeros((plan.height, 2, N_frames), dtype=np.float32)
             stream_idx = pad_idx[fl - 1:]  # frame index feeding each output frame
+            fn = core.video_block_fn(filt)
+
+            # The block loop is software-pipelined: device work for block k+1
+            # is dispatched before block k's results are pulled to the host,
+            # so host->device transfer and decode overlap TPU compute.
+            pending = None  # (pos, b, Q_blk, heat) not yet materialised
             pos = 0
             while pos < N_frames:
                 b = min(B, N_frames - pos)
@@ -190,26 +249,41 @@ class fvvdp:
                     new_t, new_r = vid_source.get_luminance_block(pos, b)
                 else:  # circular/pingpong padding reorders the first frames
                     new_t, new_r = vid_source.get_indexed_luminance_block(blk)
+                new_t, new_r = _enc(new_t), _enc(new_r)
+                if b < B:
+                    # Pad the tail block by repeating the last frame so every
+                    # block compiles to the same shape; the extra outputs are
+                    # discarded below.
+                    rep = jnp.repeat(new_t[-1:], B - b, axis=0)
+                    new_t = jnp.concatenate([new_t, rep], axis=0)
+                    new_r = jnp.concatenate([new_r, jnp.repeat(new_r[-1:], B - b,
+                                                               axis=0)], axis=0)
                 padded_t = jnp.concatenate([carry_t, new_t], axis=0)
                 padded_r = jnp.concatenate([carry_r, new_r], axis=0)
-                fn = core.video_block_fn(filt)
                 if self.foveated:
                     gaze = self._gaze_for_frames(fixation_point, pos, b, N_frames)
+                    if b < B:
+                        gaze = np.concatenate(
+                            [gaze, np.repeat(gaze[-1:], B - b, axis=0)], axis=0)
                     Q_blk, heat = fn(padded_t, padded_r, jnp.asarray(gaze))
                 else:
                     Q_blk, heat = fn(padded_t, padded_r)
-                Q_per_ch[:, :, pos:pos + b] = np.asarray(Q_blk)
-                if self.do_heatmap:
-                    heat_np = np.asarray(heat)
-                    for i in range(b):
-                        heatmap_frames[pos + i] = heat_np[i]
+
+                if pending is not None:
+                    self._drain_block(pending, Q_per_ch, heatmap_frames)
+                pending = (pos, b, Q_blk, heat)
+
                 if fl > 1:
+                    # (a padded tail block is always the last one, so its
+                    # carry is never consumed)
                     carry_t = padded_t[-(fl - 1):]
                     carry_r = padded_r[-(fl - 1):]
                 else:
                     carry_t = padded_t[:0]
                     carry_r = padded_r[:0]
                 pos += b
+            if pending is not None:
+                self._drain_block(pending, Q_per_ch, heatmap_frames)
 
         Q_jod = self.do_pooling_and_jods(jnp.asarray(Q_per_ch))
 
@@ -225,6 +299,16 @@ class fvvdp:
             # (1, c, F, H, W) float16 — same layout/dtype as the reference
             stats["heatmap"] = np.stack(heatmap_frames, axis=1)[None]
         return float(Q_jod), stats
+
+    @staticmethod
+    def _drain_block(pending, Q_per_ch, heatmap_frames):
+        """Materialise a finished block's device results on the host."""
+        pos, b, Q_blk, heat = pending
+        Q_per_ch[:, :, pos:pos + b] = np.asarray(Q_blk)[:, :, :b]
+        if heatmap_frames is not None and heat is not None:
+            heat_np = np.asarray(heat)
+            for i in range(b):
+                heatmap_frames[pos + i] = heat_np[i]
 
     def _gaze_for_frames(self, fixation_point: np.ndarray, start: int, count: int,
                          n_frames: int) -> np.ndarray:

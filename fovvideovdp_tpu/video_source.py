@@ -14,6 +14,7 @@ a dtype-check bug, video_source.py:184).
 """
 from __future__ import annotations
 
+import functools
 from abc import ABC, abstractmethod
 from typing import Iterator, Optional, Tuple
 
@@ -49,6 +50,86 @@ def reshuffle_dims(arr: np.ndarray, in_dims: str, out_dims: str) -> np.ndarray:
         else:
             out_sh.append(1)
     return arr_p.reshape(out_sh)
+
+
+def _reshuffle_dims_jnp(arr: jnp.ndarray, in_dims: str, out_dims: str) -> jnp.ndarray:
+    """Device-side version of reshuffle_dims (transpose + reshape on device,
+    avoiding a strided host copy of large videos)."""
+    in_dims = in_dims.upper()
+    out_dims = out_dims.upper()
+    inter_dims = "".join(d for d in out_dims if d in in_dims)
+    perm = [in_dims.find(d) for d in inter_dims]
+    arr_p = jnp.transpose(arr, perm) if perm else arr
+    out_sh = []
+    k = 0
+    for d in out_dims:
+        if d in inter_dims:
+            out_sh.append(arr_p.shape[k])
+            k += 1
+        else:
+            out_sh.append(1)
+    return arr_p.reshape(out_sh)
+
+
+def _decode_raw(x: jnp.ndarray) -> jnp.ndarray:
+    """Raw stored pixel values -> display-encoded floats in [0, 1]."""
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) / 255.0
+    if x.dtype == jnp.uint16:
+        return x.astype(jnp.float32) / 65535.0
+    if x.dtype == jnp.int16:
+        # tolerate reference-style uint16-packed-in-int16 input
+        return (x.astype(jnp.int32) & 0xFFFF).astype(jnp.float32) / 65535.0
+    return x.astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("dm", "rgb2y"))
+def _frames_to_luminance(frames, dm, rgb2y):
+    """(n, C, H, W) raw frames -> (n, H, W) absolute luminance."""
+    L = dm.forward(_decode_raw(frames))
+    if L.shape[1] == 3:
+        return L[:, 0] * rgb2y[0] + L[:, 1] * rgb2y[1] + L[:, 2] * rgb2y[2]
+    return L[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("count", "dm", "rgb2y"))
+def _slice_block_luminance(video, start, count, dm, rgb2y):
+    """Device-resident (C, F, H, W) video -> (count, H, W) luminance block."""
+    C = video.shape[0]
+    blk = jax.lax.dynamic_slice(video, (0, start, 0, 0),
+                                (C, count) + video.shape[2:])
+    return _frames_to_luminance(blk.transpose(1, 0, 2, 3), dm, rgb2y)
+
+
+@functools.partial(jax.jit, static_argnames=("dm", "rgb2y"))
+def _gather_block_luminance(video, idx, dm, rgb2y):
+    blk = jnp.take(video, idx, axis=1)  # (C, n, H, W)
+    return _frames_to_luminance(blk.transpose(1, 0, 2, 3), dm, rgb2y)
+
+
+_UPLOAD_CHUNK_BYTES = 16 << 20
+
+
+@functools.partial(jax.jit, static_argnames=("in_dims", "shape", "dtype"))
+def _assemble_cfhw(flat, in_dims, shape, dtype):
+    return _reshuffle_dims_jnp(flat.view(dtype).reshape(shape), in_dims, "BCFHW")[0]
+
+
+def _upload_as_cfhw(raw: np.ndarray, in_dims: str) -> jnp.ndarray:
+    """Raw host array in any dim order -> device (C, F, H, W).
+
+    The transfer goes up in ~16MB chunks: some transports degrade badly on
+    large single transfers, and chunking also overlaps host paging with the
+    copy.  Reassembly + dim reshuffle happen on device.
+    """
+    flat = np.ascontiguousarray(raw).view(np.uint8).reshape(-1)
+    if flat.nbytes <= _UPLOAD_CHUNK_BYTES:
+        parts = [jax.device_put(flat)]
+    else:
+        parts = [jax.device_put(flat[off:off + _UPLOAD_CHUNK_BYTES])
+                 for off in range(0, flat.nbytes, _UPLOAD_CHUNK_BYTES)]
+    flat_dev = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    return _assemble_cfhw(flat_dev, in_dims, raw.shape, raw.dtype.name)
 
 
 class fvvdp_video_source(ABC):
@@ -106,35 +187,19 @@ class fvvdp_video_source_dm(fvvdp_video_source):
             raise RuntimeError(
                 "display_photometry must be a string or fvvdp_display_photometry subclass")
 
-        self._lum_fn = None
+    def frames_to_luminance(self, frames):
+        """(n, C, H, W) display-encoded frames -> (n, H, W) luminance.
 
+        Shared jitted program across all sources with identical photometry
+        (the photometry object is a hashable static argument)."""
+        return _frames_to_luminance(
+            frames, self.dm_photometry,
+            tuple(float(c) for c in self.color_to_luminance))
+
+    # kept for backwards compatibility with subclasses written against the
+    # closure-based API
     def _luminance_fn(self):
-        """Jitted (frames, C, H, W)-encoded -> (frames, H, W) luminance."""
-        if self._lum_fn is None:
-            dm = self.dm_photometry
-            rgb2y = jnp.asarray(self.color_to_luminance, dtype=jnp.float32)
-
-            @jax.jit
-            def to_lum(frames):
-                x = frames
-                if x.dtype == jnp.uint8:
-                    x = x.astype(jnp.float32) / 255.0
-                elif x.dtype == jnp.uint16:
-                    x = x.astype(jnp.float32) / 65535.0
-                elif x.dtype == jnp.int16:
-                    # tolerate reference-style uint16-packed-in-int16 input
-                    x = (x.astype(jnp.int32) & 0xFFFF).astype(jnp.float32) / 65535.0
-                else:
-                    x = x.astype(jnp.float32)
-                L = dm.forward(x)
-                if L.shape[1] == 3:
-                    L = (L[:, 0] * rgb2y[0] + L[:, 1] * rgb2y[1] + L[:, 2] * rgb2y[2])
-                else:
-                    L = L[:, 0]
-                return L
-
-            self._lum_fn = to_lum
-        return self._lum_fn
+        return self.frames_to_luminance
 
 
 class fvvdp_video_source_array(fvvdp_video_source_dm):
@@ -159,7 +224,13 @@ class fvvdp_video_source_array(fvvdp_video_source_dm):
                 'Input tensor must have exactly as many dimensions as there are '
                 'characters in the "dims" parameter')
 
-        test_video = reshuffle_dims(test_video, dim_order, "BCFHW")
+        # Keep the raw input untouched; the dim reshuffle happens on device
+        # (large-video host transposes are byte-strided and very slow).
+        self._raw_test = test_video
+        self._raw_ref = reference_video
+        self._dim_order = dim_order
+
+        test_video = reshuffle_dims(test_video, dim_order, "BCFHW")  # lazy view
         reference_video = reshuffle_dims(reference_video, dim_order, "BCFHW")
 
         B, C, F, H, W = test_video.shape
@@ -175,6 +246,16 @@ class fvvdp_video_source_array(fvvdp_video_source_dm):
         self.test_video = test_video
         self.reference_video = reference_video
 
+        # Keep the (display-encoded, typically uint8/uint16) video resident in
+        # device HBM when it fits: one bulk transfer up front is far cheaper
+        # than per-block transfers that serialise against compute, and the
+        # slice + EOTF + RGB2Y then fuse into one on-device program per block.
+        self._dev_videos = None
+        self._preload_device = (test_video.nbytes + reference_video.nbytes
+                                <= self.DEVICE_PRELOAD_LIMIT_BYTES)
+
+    DEVICE_PRELOAD_LIMIT_BYTES = 4_000_000_000
+
     def get_frames_per_second(self):
         return self.fps
 
@@ -183,23 +264,75 @@ class fvvdp_video_source_array(fvvdp_video_source_dm):
         return (sh[3], sh[4], sh[2])
 
     # -- blocked path -------------------------------------------------------
+    @property
+    def _rgb2y(self):
+        return tuple(float(c) for c in self.color_to_luminance)
+
+    def _device_videos(self):
+        if self._dev_videos is None:
+            self._dev_videos = (
+                _upload_as_cfhw(self._raw_test, self._dim_order),
+                _upload_as_cfhw(self._raw_ref, self._dim_order))  # (C,F,H,W)
+            # Complete the bulk transfer before any compute is dispatched:
+            # interleaving host->device DMA with queued programs degrades the
+            # transfer to a fraction of its idle bandwidth.
+            jax.block_until_ready(self._dev_videos)
+        return self._dev_videos
+
+    def _ensure_host_bcfhw(self):
+        """Materialise contiguous host BCFHW (fallback for videos too large
+        for device HBM)."""
+        if not self.test_video.flags["C_CONTIGUOUS"]:
+            self.test_video = np.ascontiguousarray(self.test_video)
+            self.reference_video = np.ascontiguousarray(self.reference_video)
+
     def _convert(self, video: np.ndarray, indices) -> jnp.ndarray:
         raw = np.ascontiguousarray(video[0].transpose(1, 0, 2, 3)[indices])  # (n, C, H, W)
-        return self._luminance_fn()(jnp.asarray(raw))
+        return _frames_to_luminance(jnp.asarray(raw), self.dm_photometry,
+                                    self._rgb2y)
 
     def get_luminance_block(self, start, count):
+        if self._preload_device:
+            t_dev, r_dev = self._device_videos()
+            return (_slice_block_luminance(t_dev, start, count,
+                                           self.dm_photometry, self._rgb2y),
+                    _slice_block_luminance(r_dev, start, count,
+                                           self.dm_photometry, self._rgb2y))
+        self._ensure_host_bcfhw()
         sl = slice(start, start + count)
         return self._convert(self.test_video, sl), self._convert(self.reference_video, sl)
 
     def get_indexed_luminance_block(self, indices):
-        idx = np.asarray(indices, dtype=np.int64)
+        idx = np.asarray(indices, dtype=np.int32)
+        if self._preload_device:
+            if idx.size == 0:
+                H, W, _ = self.get_video_size()
+                empty = jnp.zeros((0, H, W), dtype=jnp.float32)
+                return empty, empty
+            t_dev, r_dev = self._device_videos()
+            jidx = jnp.asarray(idx)
+            return (_gather_block_luminance(t_dev, jidx, self.dm_photometry,
+                                            self._rgb2y),
+                    _gather_block_luminance(r_dev, jidx, self.dm_photometry,
+                                            self._rgb2y))
+        self._ensure_host_bcfhw()
         return self._convert(self.test_video, idx), self._convert(self.reference_video, idx)
 
     # -- per-frame reference-compatible path --------------------------------
     def get_test_frame(self, frame, device=None):
+        if self._preload_device:
+            t_dev, _ = self._device_videos()
+            return _slice_block_luminance(t_dev, frame, 1, self.dm_photometry,
+                                          self._rgb2y)[None, None]
+        self._ensure_host_bcfhw()
         return self._convert(self.test_video, slice(frame, frame + 1))[None, None]
 
     def get_reference_frame(self, frame, device=None):
+        if self._preload_device:
+            _, r_dev = self._device_videos()
+            return _slice_block_luminance(r_dev, frame, 1, self.dm_photometry,
+                                          self._rgb2y)[None, None]
+        self._ensure_host_bcfhw()
         return self._convert(self.reference_video, slice(frame, frame + 1))[None, None]
 
 

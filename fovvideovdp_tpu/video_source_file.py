@@ -1,0 +1,384 @@
+"""File-based video/image sources.
+
+* Images (png/jpg/exr/hdr/...) -> array source (any bit depth).
+* Videos (mp4/...)            -> ffmpeg *binary* spawned with a rawvideo pipe,
+  either decoding straight to RGB (ffmpeg does colour conversion,
+  ``ffmpeg_cc=True``) or piping raw YUV planes that are upsampled and
+  colour-converted on device (default — mirrors the reference's faster GPU
+  path, pyfvvdp/video_source_file.py:163-276).
+* ``.yuv`` raw files          -> memory-mapped reader (video_source_yuv).
+
+The ffmpeg subprocess is the host-side decode stage of the pipeline: it
+decodes ahead while the TPU scores the previous block (same overlap the
+reference gets from its pipe, video_source_file.py:111-119).
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import re
+import shutil
+import subprocess
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fovvideovdp_tpu.io import yuv as yuv_io
+from fovvideovdp_tpu.io.images import load_image_as_array
+from fovvideovdp_tpu.video_source import (fvvdp_video_source,
+                                          fvvdp_video_source_array,
+                                          fvvdp_video_source_dm)
+
+IMAGE_EXTENSIONS = [".png", ".jpg", ".gif", ".bmp", ".jpeg", ".ppm", ".tiff",
+                    ".dds", ".exr", ".hdr"]
+
+
+def _require_ffmpeg():
+    path = shutil.which("ffmpeg")
+    if path is None:
+        raise RuntimeError(
+            "The ffmpeg binary is required to decode video files but was not "
+            "found on PATH. Use image inputs, raw .yuv files, or array sources.")
+    return path
+
+
+def _ffprobe(vidfile: str) -> dict:
+    probe_bin = shutil.which("ffprobe")
+    if probe_bin is None:
+        raise RuntimeError("ffprobe not found — cannot inspect video files.")
+    out = subprocess.run(
+        [probe_bin, "-v", "quiet", "-print_format", "json", "-show_streams",
+         vidfile], capture_output=True)
+    if out.returncode != 0:
+        raise RuntimeError(f'ffmpeg failed to open file "{vidfile}"')
+    return json.loads(out.stdout)
+
+
+class video_reader:
+    """Decode a video through an ffmpeg rawvideo pipe (RGB output).
+
+    Parity: pyfvvdp/video_source_file.py:57-160."""
+
+    def __init__(self, vidfile, frames=-1, resize_fn=None, resize_height=-1,
+                 resize_width=-1, verbose=False):
+        probe = _ffprobe(vidfile)
+        stream = next(s for s in probe["streams"] if s["codec_type"] == "video")
+
+        self.src_width = self.width = int(stream["width"])
+        self.src_height = self.height = int(stream["height"])
+        self.color_space = stream.get("color_space", "unknown")
+        self.color_transfer = stream.get("color_transfer", "unknown")
+        self.in_pix_fmt = stream["pix_fmt"]
+        num_frames = int(stream["nb_frames"])
+        num, den = (float(x) for x in stream["r_frame_rate"].split("/"))
+        self.avg_fps = num / den
+        self.frames = num_frames if frames == -1 else min(num_frames, frames)
+
+        self._setup_ffmpeg(vidfile, resize_fn, resize_height, resize_width, verbose)
+        self.curr_frame = -1
+
+    def _spawn(self, args):
+        self.process = subprocess.Popen(args, stdout=subprocess.PIPE,
+                                        bufsize=max(self.frame_bytes * 4, 1 << 20))
+
+    def _setup_ffmpeg(self, vidfile, resize_fn, resize_height, resize_width, verbose):
+        if any(f"p{bd}" in self.in_pix_fmt for bd in (10, 12, 14, 16)):
+            out_pix_fmt, self.bpp, self.dtype = "rgb48le", 6, np.uint16
+        else:
+            out_pix_fmt, self.bpp, self.dtype = "rgb24", 3, np.uint8
+
+        ffmpeg_bin = _require_ffmpeg()
+        vf = []
+        if resize_fn is not None and (resize_width != self.width
+                                      or resize_height != self.height):
+            mode = "neighbor" if resize_fn == "nearest" else resize_fn
+            vf = ["-vf", f"scale={resize_width}:{resize_height}:flags={mode}"]
+            self.width, self.height = resize_width, resize_height
+
+        self.frame_bytes = self.width * self.height * self.bpp
+        self._spawn([ffmpeg_bin, "-nostdin", "-loglevel",
+                     "info" if verbose else "quiet", "-i", vidfile, *vf,
+                     "-f", "rawvideo", "-pix_fmt", out_pix_fmt, "pipe:"])
+
+    def get_frame(self) -> Optional[np.ndarray]:
+        in_bytes = self.process.stdout.read(self.frame_bytes)
+        if not in_bytes or len(in_bytes) < self.frame_bytes \
+                or self.curr_frame == self.frames:
+            return None
+        self.curr_frame += 1
+        return np.frombuffer(in_bytes, self.dtype)
+
+    def unpack(self, frame_np: np.ndarray) -> jnp.ndarray:
+        """Raw bytes -> (H, W, 3) display-encoded RGB in [0,1] on device."""
+        max_value = 255.0 if self.dtype == np.uint8 else 65535.0
+        x = jnp.asarray(frame_np.reshape(self.height, self.width, 3))
+        return x.astype(jnp.float32) / max_value
+
+    def close(self):
+        if getattr(self, "process", None) is not None:
+            self.process.stdout.close()
+            self.process.kill()
+            self.process = None
+
+    def __del__(self):
+        self.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, type, value, tb):
+        self.close()
+
+
+class video_reader_yuv_device(video_reader):
+    """Pipe raw YUV planes; chroma upsampling + YCbCr->RGB run on device.
+
+    Parity: pyfvvdp/video_source_file.py:166-276 (its 'pytorch' GPU path)."""
+
+    def __init__(self, vidfile, frames=-1, resize_fn=None, resize_height=-1,
+                 resize_width=-1, verbose=False):
+        super().__init__(vidfile, frames, resize_fn, resize_height,
+                         resize_width, verbose)
+        self.y_pixels = self.width * self.height
+        self.y_shape = (self.height, self.width)
+        if self.chroma_ss == "444":
+            self.frame_bytes = self.y_pixels * 3
+            self.uv_pixels = self.y_pixels
+            self.uv_shape = self.y_shape
+        elif self.chroma_ss == "420":
+            self.frame_bytes = self.y_pixels * 3 // 2
+            self.uv_pixels = self.y_pixels // 4
+            self.uv_shape = (self.height // 2, self.width // 2)
+        else:
+            raise RuntimeError("Unrecognized chroma subsampling.")
+        if self.bit_depth > 8:
+            self.frame_bytes *= 2
+
+    def _setup_ffmpeg(self, vidfile, resize_fn, resize_height, resize_width, verbose):
+        m = re.search(r"p(\d+)", self.in_pix_fmt)
+        self.bit_depth = 8 if m is None else int(m.group(1))
+        self.chroma_ss = self.in_pix_fmt[3:6]
+        if self.chroma_ss not in ("444", "420"):
+            raise RuntimeError(f"Unrecognized chroma subsampling {self.chroma_ss}")
+
+        if self.bit_depth > 8:
+            self.dtype = np.uint16
+            out_pix_fmt = f"yuv{self.chroma_ss}p{self.bit_depth}le"
+        else:
+            self.dtype = np.uint8
+            out_pix_fmt = f"yuv{self.chroma_ss}p"
+
+        if resize_fn is not None:  # resize later on device
+            self.resize_fn = resize_fn
+            self.resize_height = resize_height
+            self.resize_width = resize_width
+
+        self.frame_bytes = self.width * self.height * 3  # adjusted in __init__
+        ffmpeg_bin = _require_ffmpeg()
+        self._spawn([ffmpeg_bin, "-nostdin", "-loglevel",
+                     "info" if verbose else "quiet", "-i", vidfile,
+                     "-f", "rawvideo", "-pix_fmt", out_pix_fmt, "pipe:"])
+
+    def unpack(self, x: np.ndarray) -> jnp.ndarray:
+        Y = x[:self.y_pixels].reshape(self.y_shape)
+        u = x[self.y_pixels:self.y_pixels + self.uv_pixels].reshape(self.uv_shape)
+        v = x[self.y_pixels + self.uv_pixels:].reshape(self.uv_shape)
+        RGB = yuv_io.yuv_to_rgb(jnp.asarray(Y), jnp.asarray(u), jnp.asarray(v),
+                                self.bit_depth, self.chroma_ss,
+                                bt2020=(self.color_space == "bt2020nc"))
+        if getattr(self, "resize_fn", None) is not None and \
+                (self.height != self.resize_height or self.width != self.resize_width):
+            method = {"nearest": "nearest", "bilinear": "bilinear",
+                      "bicubic": "cubic", "area": "linear"}[self.resize_fn]
+            RGB = jax.image.resize(RGB, (self.resize_height, self.resize_width, 3),
+                                   method=method)
+        return jnp.clip(RGB, 0.0, 1.0)
+
+
+class fvvdp_video_source_video_file(fvvdp_video_source_dm):
+    """Frame streaming from two video files through ffmpeg pipes.
+
+    Parity: pyfvvdp/video_source_file.py:282-372."""
+
+    def __init__(self, test_fname, reference_fname, display_photometry="sdr_4k_30",
+                 color_space_name="auto", frames=-1, full_screen_resize=None,
+                 resize_resolution=None, ffmpeg_cc=False, verbose=False):
+        fs_width = -1 if full_screen_resize is None else resize_resolution[0]
+        fs_height = -1 if full_screen_resize is None else resize_resolution[1]
+        reader = video_reader if ffmpeg_cc else video_reader_yuv_device
+        self.reference_vidr = reader(reference_fname, frames,
+                                     resize_fn=full_screen_resize,
+                                     resize_width=fs_width, resize_height=fs_height,
+                                     verbose=verbose)
+        self.test_vidr = reader(test_fname, frames, resize_fn=full_screen_resize,
+                                resize_width=fs_width, resize_height=fs_height,
+                                verbose=verbose)
+        self.frames = self.test_vidr.frames if frames == -1 else frames
+
+        if color_space_name == "auto":
+            color_space_name = "BT.2020" \
+                if self.test_vidr.color_space == "bt2020nc" else "sRGB"
+        super().__init__(display_photometry=display_photometry,
+                         color_space_name=color_space_name)
+
+        if self.test_vidr.color_transfer == "smpte2084" \
+                and getattr(self.dm_photometry, "EOTF", None) != "PQ":
+            logging.warning(
+                f"Video color transfer function ({self.test_vidr.color_transfer}) "
+                f"inconsistent with EOTF of the display model")
+
+    def get_video_size(self):
+        vr = self.test_vidr
+        if getattr(vr, "resize_fn", None) is not None:
+            return (vr.resize_height, vr.resize_width, self.frames)
+        return (vr.height, vr.width, self.frames)
+
+    def get_frames_per_second(self):
+        return self.test_vidr.avg_fps
+
+    def _rgb_to_luminance(self, RGB_hwc: jnp.ndarray) -> jnp.ndarray:
+        frame = RGB_hwc.transpose(2, 0, 1)[None]  # (1, C, H, W)
+        L = self._luminance_fn()(frame)
+        return L  # (1, H, W)
+
+    def _next_frame(self, vid_reader, frame):
+        if frame != vid_reader.curr_frame + 1:
+            raise RuntimeError(
+                "Video can be currently only read frame-by-frame. "
+                "Random access not implemented (use preload).")
+        frame_np = vid_reader.get_frame()
+        if frame_np is None:
+            raise RuntimeError(f"Could not read frame {frame}")
+        return self._rgb_to_luminance(vid_reader.unpack(frame_np))
+
+    def get_test_frame(self, frame, device=None):
+        return self._next_frame(self.test_vidr, frame)[None, None]
+
+    def get_reference_frame(self, frame, device=None):
+        return self._next_frame(self.reference_vidr, frame)[None, None]
+
+    def get_luminance_block(self, start, count):
+        t = jnp.concatenate(
+            [self._next_frame(self.test_vidr, start + i) for i in range(count)])
+        r = jnp.concatenate(
+            [self._next_frame(self.reference_vidr, start + i) for i in range(count)])
+        return t, r
+
+    def get_indexed_luminance_block(self, indices):
+        raise RuntimeError(
+            "circular/pingpong temporal padding requires random access — "
+            "use preload=True (fvvdp_video_source_video_file_preload)")
+
+
+class fvvdp_video_source_video_file_preload(fvvdp_video_source_video_file):
+    """Preloads all decoded frames into host RAM for random access
+    (parity: pyfvvdp/video_source_file.py:378-408)."""
+
+    def _ensure_loaded(self):
+        if hasattr(self, "frame_array_tst"):
+            return
+        self.frame_array_tst = [self.test_vidr.get_frame()
+                                for _ in range(self.frames)]
+        self.frame_array_ref = [self.reference_vidr.get_frame()
+                                for _ in range(self.frames)]
+        mb = sum(f.nbytes for f in self.frame_array_tst if f is not None) * 2 / 1e6
+        logging.debug(f"Preloaded {self.frames} frames (~{mb:.0f}MB host RAM)")
+
+    def _frame_lum(self, vid_reader, arr, frame):
+        frame_np = arr[frame]
+        if frame_np is None:
+            raise RuntimeError(f"Could not read frame {frame}")
+        return self._rgb_to_luminance(vid_reader.unpack(frame_np))
+
+    def get_test_frame(self, frame, device=None):
+        self._ensure_loaded()
+        return self._frame_lum(self.test_vidr, self.frame_array_tst, frame)[None, None]
+
+    def get_reference_frame(self, frame, device=None):
+        self._ensure_loaded()
+        return self._frame_lum(self.reference_vidr, self.frame_array_ref, frame)[None, None]
+
+    def get_luminance_block(self, start, count):
+        self._ensure_loaded()
+        t = jnp.concatenate([self._frame_lum(self.test_vidr, self.frame_array_tst,
+                                             start + i) for i in range(count)])
+        r = jnp.concatenate([self._frame_lum(self.reference_vidr, self.frame_array_ref,
+                                             start + i) for i in range(count)])
+        return t, r
+
+    def get_indexed_luminance_block(self, indices):
+        self._ensure_loaded()
+        t = jnp.concatenate([self._frame_lum(self.test_vidr, self.frame_array_tst,
+                                             int(i)) for i in indices])
+        r = jnp.concatenate([self._frame_lum(self.reference_vidr, self.frame_array_ref,
+                                             int(i)) for i in indices])
+        return t, r
+
+
+class fvvdp_video_source_file(fvvdp_video_source):
+    """Dispatch by extension: image pair, .yuv pair, or ffmpeg-decoded video
+    (parity: pyfvvdp/video_source_file.py:414-443)."""
+
+    def __init__(self, test_fname, reference_fname, display_photometry="sdr_4k_30",
+                 color_space_name="auto", frames=-1, full_screen_resize=None,
+                 resize_resolution=None, preload=False, ffmpeg_cc=False,
+                 verbose=False):
+        assert os.path.isfile(test_fname), f'File does not exists: "{test_fname}"'
+        assert os.path.isfile(reference_fname), \
+            f'File does not exists: "{reference_fname}"'
+
+        test_ext = os.path.splitext(test_fname)[1].lower()
+        ref_ext = os.path.splitext(reference_fname)[1].lower()
+
+        if test_ext in IMAGE_EXTENSIONS:
+            assert ref_ext in IMAGE_EXTENSIONS, \
+                "Test is an image, but reference is a video"
+            if color_space_name == "auto":
+                color_space_name = "sRGB"
+            img_test = load_image_as_array(test_fname)
+            img_reference = load_image_as_array(reference_fname)
+            if full_screen_resize is not None:
+                logging.error("full-screen-resize not implemented for images.")
+            self.vs = fvvdp_video_source_array(
+                img_test, img_reference, 0, dim_order="HWC",
+                display_photometry=display_photometry,
+                color_space_name=color_space_name)
+        elif test_ext == ".yuv":
+            from fovvideovdp_tpu.video_source_yuv import fvvdp_video_source_yuv_file
+            self.vs = fvvdp_video_source_yuv_file(
+                test_fname, reference_fname, display_photometry=display_photometry,
+                color_space_name=color_space_name, frames=frames,
+                full_screen_resize=full_screen_resize,
+                resize_resolution=resize_resolution, verbose=verbose)
+        else:
+            assert ref_ext not in IMAGE_EXTENSIONS, \
+                "Test is a video, but reference is an image"
+            cls = fvvdp_video_source_video_file_preload if preload \
+                else fvvdp_video_source_video_file
+            self.vs = cls(test_fname, reference_fname,
+                          display_photometry=display_photometry,
+                          color_space_name=color_space_name, frames=frames,
+                          full_screen_resize=full_screen_resize,
+                          resize_resolution=resize_resolution,
+                          ffmpeg_cc=ffmpeg_cc, verbose=verbose)
+
+    def get_video_size(self):
+        return self.vs.get_video_size()
+
+    def get_frames_per_second(self):
+        return self.vs.get_frames_per_second()
+
+    def get_test_frame(self, frame, device=None):
+        return self.vs.get_test_frame(frame, device)
+
+    def get_reference_frame(self, frame, device=None):
+        return self.vs.get_reference_frame(frame, device)
+
+    def get_luminance_block(self, start, count):
+        return self.vs.get_luminance_block(start, count)
+
+    def get_indexed_luminance_block(self, indices):
+        return self.vs.get_indexed_luminance_block(indices)

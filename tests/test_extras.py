@@ -1,0 +1,86 @@
+"""Tests for auxiliary components: preference mapping, 360 content mapping,
+visualization primitives, config resolution."""
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fovvideovdp_tpu.preference import fvvdp_preference
+from fovvideovdp_tpu.content_mapping import fvvdp_content_mapping_equirect
+from fovvideovdp_tpu.visualize import visualize_diff_map, vis_tonemap
+from fovvideovdp_tpu import utils
+
+
+def test_preference_mapping():
+    # 0 JOD difference -> 50%; matlab/fvvdp_preference.m: sigma=1.4826
+    np.testing.assert_allclose(float(fvvdp_preference(0.0)), 50.0, atol=1e-4)
+    # 1 JOD -> 75% by the JOD definition
+    np.testing.assert_allclose(float(fvvdp_preference(1.0)), 75.0, atol=0.5)
+    # antisymmetric
+    p = float(fvvdp_preference(2.5))
+    np.testing.assert_allclose(p + float(fvvdp_preference(-2.5)), 100.0, atol=1e-3)
+
+
+def test_equirect_eccentricity():
+    cm = fvvdp_content_mapping_equirect(360, 180)
+    xx, yy = np.meshgrid(np.arange(360, dtype=np.float32),
+                         np.arange(180, dtype=np.float32))
+    # gaze at image centre
+    ecc = np.asarray(cm.eccentricity((360, 180), jnp.asarray(xx), jnp.asarray(yy),
+                                     180.0, 90.0))
+    assert ecc.shape == (180, 360)
+    assert ecc[90, 180] < 1.0            # at gaze -> ~0 deg
+    assert abs(ecc[90, 0] - 180.0) < 2.0  # opposite azimuth -> ~180 deg
+    assert abs(ecc[0, 180] - 90.0) < 2.0  # pole is 90 deg from equator gaze
+
+
+def test_vis_tonemap_ranges():
+    rng = np.random.RandomState(0)
+    b = jnp.asarray(rng.rand(32, 48).astype(np.float32) * 5)
+    out = np.asarray(vis_tonemap(b, 0.6))
+    assert out.min() >= 0.15 and out.max() <= 0.85
+
+
+def test_visualize_diff_map_shapes():
+    rng = np.random.RandomState(0)
+    d = jnp.asarray(rng.rand(1, 24, 32).astype(np.float32))
+    ctx = jnp.asarray(rng.rand(1, 24, 32).astype(np.float32) * 100 + 1)
+    for cm in ["threshold", "supra-threshold", "monochromatic"]:
+        out = np.asarray(visualize_diff_map(d, ctx, cm))
+        assert out.shape == (3, 24, 32)
+        assert out.min() >= 0 and out.max() <= 1
+
+
+def test_config_dir_precedence(tmp_path, monkeypatch):
+    # explicit dir > env var > packaged
+    custom = tmp_path / "cfg"
+    custom.mkdir()
+    (custom / "fvvdp_parameters.json").write_text('{"mask_p": 1.0}')
+    envdir = tmp_path / "env"
+    envdir.mkdir()
+    (envdir / "fvvdp_parameters.json").write_text('{"mask_p": 2.0}')
+
+    monkeypatch.setenv("FVVDP_PATH", str(envdir))
+    utils.config_files.set_config_dir(str(custom))
+    try:
+        assert utils.config_files.find("fvvdp_parameters.json") == \
+            str(custom / "fvvdp_parameters.json")
+        utils.config_files.set_config_dir(None)
+        assert utils.config_files.find("fvvdp_parameters.json") == \
+            str(envdir / "fvvdp_parameters.json")
+        monkeypatch.delenv("FVVDP_PATH")
+        assert "fovvideovdp_tpu" in utils.config_files.find("fvvdp_parameters.json")
+    finally:
+        utils.config_files.set_config_dir(None)
+
+
+def test_gog_photometry():
+    from fovvideovdp_tpu.display_model import fvvdp_display_photo_gog
+    gog = fvvdp_display_photo_gog(100, contrast=1000, gamma=2.2)
+    L = np.asarray(gog.forward(jnp.asarray([0.0, 0.5, 1.0])))
+    assert abs(L[0] - gog.get_black_level()) < 1e-5
+    assert abs(L[2] - 100.0) < 1e-3
+    srgb = fvvdp_display_photo_gog(100, gamma=-1)
+    L2 = np.asarray(srgb.forward(jnp.asarray([0.5])))
+    assert 18 < L2[0] < 25  # sRGB 0.5 -> ~21% linear

@@ -1,0 +1,57 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fovvideovdp_tpu.ops import temporal as temporal_ops
+from fovvideovdp_tpu.parallel import make_mesh, shard_video_block_fn, shard_image_fn
+
+
+def _cpu_devices(n):
+    devs = jax.devices("cpu")
+    if len(devs) < n:
+        pytest.skip(f"need {n} cpu devices, have {len(devs)}")
+    return devs[:n]
+
+
+def _make_core(W=64, H=48):
+    import __graft_entry__ as ge
+    return ge._make_core(W, H)
+
+
+def test_sharded_video_matches_single_device():
+    core = _make_core()
+    fps, B = 30.0, 8
+    fl = temporal_ops.filter_len_for_fps(fps)
+    filt = temporal_ops.temporal_filters(fps, fl)
+
+    rng = np.random.RandomState(0)
+    padded_t = jnp.asarray(rng.rand(B + fl - 1, 48, 64).astype(np.float32) * 100 + 0.1)
+    padded_r = padded_t * 1.02 + 0.3
+
+    Q_single, _ = core.video_block_fn(filt)(padded_t, padded_r)
+
+    mesh = make_mesh(_cpu_devices(8), data_parallel=4)
+    Q_sharded, _ = shard_video_block_fn(core, filt, mesh)(padded_t, padded_r)
+
+    np.testing.assert_allclose(np.asarray(Q_sharded), np.asarray(Q_single),
+                               rtol=2e-5, atol=1e-6)
+
+
+def test_sharded_image_matches_single_device():
+    core = _make_core()
+    rng = np.random.RandomState(1)
+    T = jnp.asarray(rng.rand(48, 64).astype(np.float32) * 200 + 0.1)
+    R = T + 1.0
+
+    Q_single, _ = core.image_fn()(T, R)
+    mesh = make_mesh(_cpu_devices(8), data_parallel=1)  # all-space mesh
+    Q_sharded, _ = shard_image_fn(core, mesh)(T, R)
+    np.testing.assert_allclose(np.asarray(Q_sharded), np.asarray(Q_single),
+                               rtol=2e-5, atol=1e-6)
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
