@@ -236,7 +236,7 @@ class MetricCore:
                     R_f = jnp.clip(R_f / L_bkg, None, 1000.0)
 
                 if self.foveated:
-                    S = csf_mod.sensitivity(self.luts[cc], rho, L_bkg, ecc)
+                    S = csf_mod.sensitivity_trilinear(self.luts[cc], rho, L_bkg, ecc)
                 else:
                     S = csf_mod.sensitivity_1d(self.luts[cc],
                                                self._band_tables[bb][cc], L_bkg)

@@ -143,6 +143,71 @@ def sensitivity_1d(lut: Dict[str, jnp.ndarray], table_1d, L_bkg):
     return jnp.power(2.0, s_log)
 
 
+def _uniform_weights(q, grid):
+    """2-point interpolation weights on a uniform grid as a dense one-hot
+    row (n,) per query — gather-free."""
+    n = grid.shape[0]
+    x0 = grid[0]
+    dx = (grid[-1] - grid[0]) / (n - 1)
+    u = jnp.clip((q - x0) / dx, 0.0, float(n - 1))
+    i0 = jnp.floor(u).astype(jnp.int32)
+    f = u - i0
+    i1 = jnp.minimum(i0 + 1, n - 1)
+    return (jax.nn.one_hot(i0, n, dtype=q.dtype) * (1.0 - f)[..., None]
+            + jax.nn.one_hot(i1, n, dtype=q.dtype) * f[..., None])
+
+
+_TRILINEAR_CHUNK = 16384
+
+
+def sensitivity_trilinear(lut: Dict[str, jnp.ndarray], rho, L_bkg, ecc):
+    """Per-pixel S(rho, L, ecc) via dense one-hot contractions.
+
+    Gather-free trilinear interpolation for the foveated path: all three LUT
+    axes are uniform in their transformed spaces, so interpolation weights
+    are index arithmetic, and the 8-corner sum becomes three successive
+    contractions with the 32^3 table — MXU/VPU work instead of per-pixel
+    gathers (which are ~1000x slower on TPU).  Processes pixels in chunks to
+    bound the (chunk, 32, 32) intermediate.
+    """
+    shape = jnp.shape(L_bkg)
+    rho = jnp.broadcast_to(jnp.asarray(rho, jnp.float32), shape).reshape(-1)
+    ecc = jnp.broadcast_to(jnp.asarray(ecc, jnp.float32), shape).reshape(-1)
+    L = jnp.reshape(L_bkg, (-1,))
+
+    rho_q = jnp.log2(jnp.clip(rho, lut["rho"][0], lut["rho"][-1]))
+    Y_q = jnp.log2(jnp.clip(L, lut["Y"][0], lut["Y"][-1]))
+    ecc_q = jnp.sqrt(jnp.clip(ecc, lut["ecc"][0], lut["ecc"][-1]))
+
+    V = lut["S_log"]                      # [Y, rho, ecc] = (32, 32, 32)
+    n = V.shape[0]
+    N = L.shape[0]
+    chunk = min(_TRILINEAR_CHUNK, N)
+    n_chunks = -(-N // chunk)
+    pad = n_chunks * chunk - N
+    if pad:
+        Y_q = jnp.concatenate([Y_q, jnp.zeros((pad,), Y_q.dtype)])
+        rho_q = jnp.concatenate([rho_q, jnp.zeros((pad,), rho_q.dtype)])
+        ecc_q = jnp.concatenate([ecc_q, jnp.zeros((pad,), ecc_q.dtype)])
+
+    V_flat = V.reshape(n, n * n)
+
+    def one_chunk(args):
+        yq, rq, eq = args
+        w_y = _uniform_weights(yq, lut["Y_log"])        # (c, 32)
+        w_r = _uniform_weights(rq, lut["rho_log"])      # (c, 32)
+        w_e = _uniform_weights(eq, lut["ecc_sqrt"])     # (c, 32)
+        A = (w_y @ V_flat).reshape(-1, n, n)            # (c, rho, ecc)
+        B = jnp.einsum("pik,pi->pk", A, w_r)            # (c, ecc)
+        return jnp.sum(B * w_e, axis=-1)                # (c,)
+
+    s_log = jax.lax.map(one_chunk, (Y_q.reshape(n_chunks, chunk),
+                                    rho_q.reshape(n_chunks, chunk),
+                                    ecc_q.reshape(n_chunks, chunk)))
+    s_log = s_log.reshape(-1)[:N].reshape(shape)
+    return jnp.power(2.0, s_log)
+
+
 def sensitivity(lut: Dict[str, jnp.ndarray], rho, L_bkg, ecc):
     """Interpolated sensitivity S(rho, L_bkg, ecc) from a LUT.
 

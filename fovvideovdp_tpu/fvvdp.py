@@ -318,6 +318,83 @@ class fvvdp:
                                (count, 2)).copy()
 
     # ------------------------------------------------------------------
+    # differentiable path (metric-as-loss for training)
+    # ------------------------------------------------------------------
+    def predict_traced(self, test_cont, reference_cont, dim_order="BCFHW",
+                       frames_per_second=0, fixation_point=None):
+        """Fully traced JOD prediction: differentiable end-to-end and safe to
+        wrap in jax.jit / jax.grad.
+
+        Unlike ``predict`` (which streams blocks with host orchestration),
+        the whole clip is scored in one traced computation.  Inputs are
+        display-encoded float arrays (or luminance when the photometry is
+        absolute).  The reference achieves trainability via torch gradient
+        checkpointing (pyfvvdp/fvvdp.py:302-304); here ``use_checkpoints``
+        applies jax.checkpoint around the spatial core for the same
+        memory/compute trade.
+        """
+        import jax
+
+        from fovvideovdp_tpu.video_source import _reshuffle_dims_jnp
+
+        x_t = _reshuffle_dims_jnp(jnp.asarray(test_cont, jnp.float32),
+                                  dim_order, "BCFHW")
+        x_r = _reshuffle_dims_jnp(jnp.asarray(reference_cont, jnp.float32),
+                                  dim_order, "BCFHW")
+        B, C, F, H, W = x_t.shape
+        if B != 1:
+            raise RuntimeError("predict_traced supports batch size 1")
+
+        colorspaces = utils.json2dict(utils.config_files.find("color_spaces.json"))
+        rgb2y = colorspaces[self.color_space]["RGB2Y"]
+
+        def to_lum(x):
+            L = self.display_photometry.forward(x[0])
+            if C == 3:
+                L = L[0] * rgb2y[0] + L[1] * rgb2y[1] + L[2] * rgb2y[2]
+            else:
+                L = L[0]
+            return L  # (F, H, W)
+
+        lum_t, lum_r = to_lum(x_t), to_lum(x_r)
+        if self.contrast == "log":
+            lum_t = jnp.log10(jnp.clip(lum_t, 1e-6, None))
+            lum_r = jnp.log10(jnp.clip(lum_r, 1e-6, None))
+
+        core = self._get_core(W, H)
+        if fixation_point is None:
+            fixation_point = np.array([W // 2, H // 2])
+        gaze = jnp.asarray(np.broadcast_to(
+            np.asarray(fixation_point, np.float32).reshape(-1, 2)[-1:]
+            if np.asarray(fixation_point).ndim == 1 else fixation_point,
+            (F, 2))) if self.foveated else None
+
+        score = core.score_frames
+        if self.use_checkpoints:
+            score = jax.checkpoint(score, static_argnums=(2,))
+
+        if F == 1:
+            R = jnp.stack([lum_t[0], lum_r[0]], axis=0)[None]
+            Q_per_ch, _ = score(R, gaze, 1)
+        else:
+            fl = temporal_ops.filter_len_for_fps(frames_per_second)
+            filt = jnp.asarray(temporal_ops.temporal_filters(
+                frames_per_second, fl, self.sustained_sigma, self.sustained_beta))
+            idx = temporal_ops.padding_indices(F, fl, self.temp_padding)
+            pt = jnp.take(lum_t, jnp.asarray(idx), axis=0)
+            pr = jnp.take(lum_r, jnp.asarray(idx), axis=0)
+            Rt = temporal_ops.apply_temporal_filters(pt, filt)
+            Rr = temporal_ops.apply_temporal_filters(pr, filt)
+            R = jnp.stack([Rt[:, 0], Rr[:, 0], Rt[:, 1], Rr[:, 1]], axis=1)
+            Q_per_ch, _ = score(R, gaze, 2)
+
+        return self.do_pooling_and_jods(Q_per_ch)
+
+    def loss(self, test_cont, reference_cont, **kwargs):
+        """Differentiable training loss: 10 - Q_JOD (0 when imperceptible)."""
+        return 10.0 - self.predict_traced(test_cont, reference_cont, **kwargs)
+
+    # ------------------------------------------------------------------
     def do_pooling_and_jods(self, Q_per_ch):
         """Band/channel/frame pooling + JOD regression (fvvdp.py:337-357)."""
         return mask_ops.pool_to_jod(
