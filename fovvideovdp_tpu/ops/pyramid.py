@@ -22,6 +22,7 @@ from __future__ import annotations
 import math
 from typing import List, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -71,11 +72,43 @@ def _reduce_cols(y_a: jnp.ndarray, in_rows: int) -> jnp.ndarray:
     return y
 
 
-def gausspyr_reduce(x: jnp.ndarray) -> jnp.ndarray:
-    """One level of Gaussian-pyramid reduction: (..., H, W) -> (..., ceil(H/2),
-    ceil(W/2)).  Equivalent to fvvdp_lpyr_dec.py:183-207."""
+def _gausspyr_reduce_jnp(x: jnp.ndarray) -> jnp.ndarray:
     y_a = _reduce_rows(x)
     return _reduce_cols(y_a, x.shape[-2])
+
+
+@jax.custom_vjp
+def _gausspyr_reduce_pallas_vjp(x):
+    from fovvideovdp_tpu.ops.pallas.reduce import gausspyr_reduce_pallas
+    return gausspyr_reduce_pallas(x)
+
+
+def _reduce_fwd(x):
+    return _gausspyr_reduce_pallas_vjp(x), jax.eval_shape(lambda: x)
+
+
+def _reduce_bwd(in_aval, g):
+    # the reduction is linear; its VJP is the transpose of the jnp reference
+    transpose = jax.linear_transpose(_gausspyr_reduce_jnp, in_aval)
+    return (transpose(g)[0],)
+
+
+_gausspyr_reduce_pallas_vjp.defvjp(_reduce_fwd, _reduce_bwd)
+
+
+def gausspyr_reduce(x: jnp.ndarray) -> jnp.ndarray:
+    """One level of Gaussian-pyramid reduction: (..., H, W) -> (..., ceil(H/2),
+    ceil(W/2)).  Equivalent to fvvdp_lpyr_dec.py:183-207.
+
+    Dispatches to the fused Pallas TPU kernel for supported shapes (identical
+    numerics; jnp fallback elsewhere and as the gradient rule)."""
+    from fovvideovdp_tpu.ops import pallas as pallas_cfg
+    H, W = x.shape[-2], x.shape[-1]
+    if x.dtype == jnp.float32 and pallas_cfg.use_pallas():
+        from fovvideovdp_tpu.ops.pallas import reduce as pallas_reduce
+        if pallas_reduce.supports(H, W):
+            return _gausspyr_reduce_pallas_vjp(x)
+    return _gausspyr_reduce_jnp(x)
 
 
 def _interleave_pad(x: jnp.ndarray, out_size: int, axis: int) -> jnp.ndarray:
