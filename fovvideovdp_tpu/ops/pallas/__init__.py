@@ -19,6 +19,9 @@ def use_pallas() -> bool:
     if _FORCED is not None:
         return _FORCED
     try:
+        dev = jax.config.jax_default_device
+        if dev is not None:  # an explicit default device pins the platform
+            return dev.platform not in ("cpu",)
         return jax.default_backend() not in ("cpu",)
     except Exception:
         return False

@@ -19,6 +19,7 @@ for JOD parity on levels whose height and width parities differ.
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import List, Sequence, Tuple
 
@@ -145,6 +146,46 @@ def gausspyr_expand(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
     return y
 
 
+def _expand_contrast_jnp(g_fine, g_coarse, size, bkg_channel):
+    glayer_ex = gausspyr_expand(g_coarse, size)
+    L_bkg = jnp.clip(glayer_ex[..., bkg_channel:bkg_channel + 1, :, :], 0.1, None)
+    contrast = jnp.clip((g_fine - glayer_ex) / L_bkg, None, 1000.0)
+    return contrast, L_bkg
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _expand_contrast_pallas_vjp(g_fine, g_coarse, size, bkg_channel):
+    from fovvideovdp_tpu.ops.pallas.expand import expand_contrast_pallas
+    return expand_contrast_pallas(g_fine, g_coarse, bkg_channel)
+
+
+def _ec_fwd(g_fine, g_coarse, size, bkg_channel):
+    out = _expand_contrast_pallas_vjp(g_fine, g_coarse, size, bkg_channel)
+    return out, (g_fine, g_coarse)
+
+
+def _ec_bwd(size, bkg_channel, res, g):
+    g_fine, g_coarse = res
+    _, vjp = jax.vjp(lambda a, b: _expand_contrast_jnp(a, b, size, bkg_channel),
+                     g_fine, g_coarse)
+    return vjp(g)
+
+
+_expand_contrast_pallas_vjp.defvjp(_ec_fwd, _ec_bwd)
+
+
+def _expand_contrast_level(g_fine, g_coarse, size, bkg_channel):
+    """One fused contrast-pyramid level with Pallas dispatch."""
+    from fovvideovdp_tpu.ops import pallas as pallas_cfg
+    H, W = size
+    if (g_fine.dtype == jnp.float32 and g_fine.ndim == 4
+            and pallas_cfg.use_pallas()):
+        from fovvideovdp_tpu.ops.pallas import expand as pallas_expand
+        if pallas_expand.supports(H, W):
+            return _expand_contrast_pallas_vjp(g_fine, g_coarse, size, bkg_channel)
+    return _expand_contrast_jnp(g_fine, g_coarse, size, bkg_channel)
+
+
 # ---------------------------------------------------------------------------
 # Pyramid plan + decompositions
 # ---------------------------------------------------------------------------
@@ -225,15 +266,17 @@ class PyramidPlan:
         sustained), clamped to >= 0.1 cd/m^2; each Laplacian band is converted
         to Weber contrast clamped to <= 1000.
 
+        Per level, dispatches to the fused Pallas expand+contrast kernel on
+        TPU (ops/pallas/expand.py) with the jnp composition as fallback and
+        gradient rule.
+
         Returns (contrast bands + base, L_bkg per level)."""
         gpyr = self.gaussian_pyramid(image)
         lpyr: List[jnp.ndarray] = []
         L_bkg_pyr: List[jnp.ndarray] = []
         for i in range(len(gpyr) - 1):
-            glayer_ex = gausspyr_expand(gpyr[i + 1], self.level_shapes[i])
-            layer = gpyr[i] - glayer_ex
-            L_bkg = jnp.clip(glayer_ex[..., bkg_channel:bkg_channel + 1, :, :], 0.1, None)
-            contrast = jnp.clip(layer / L_bkg, None, 1000.0)
+            contrast, L_bkg = _expand_contrast_level(
+                gpyr[i], gpyr[i + 1], self.level_shapes[i], bkg_channel)
             lpyr.append(contrast)
             L_bkg_pyr.append(L_bkg)
         lpyr.append(gpyr[-1])

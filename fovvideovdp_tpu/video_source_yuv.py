@@ -9,6 +9,7 @@ sets) is not reproduced.
 """
 from __future__ import annotations
 
+import functools
 import logging
 import os
 import re
@@ -66,7 +67,11 @@ def create_yuv_fname(basename: str, vprops: dict) -> str:
 
 
 class YUVReader:
-    """Memory-mapped frame access to a raw .yuv file."""
+    """Frame access to a raw .yuv file.
+
+    Uses the native prefetching reader (fovvideovdp_tpu.native) when the
+    toolchain is available — a background thread reads ahead so file I/O
+    overlaps device compute — with a numpy memmap fallback."""
 
     def __init__(self, file_name: str):
         if not os.path.isfile(file_name):
@@ -96,6 +101,37 @@ class YUVReader:
         self.dtype = np.uint16 if self.bit_depth > 8 else np.uint8
         self.frame_count = int(os.stat(file_name).st_size // self.frame_bytes)
         self.mm = None
+
+        self.native = None
+        try:
+            from fovvideovdp_tpu.native import NativeYuvReader
+            self.native = NativeYuvReader(file_name, self.width, self.height,
+                                          self.bit_depth, self.chroma_ss)
+        except Exception as e:  # missing toolchain -> memmap fallback
+            logging.debug(f"native YUV reader unavailable ({e}); using memmap")
+
+    # -- raw block access (flat samples per frame) ---------------------------
+    def read_raw_block(self, start: int, count: int) -> np.ndarray:
+        if self.native is not None:
+            return self.native.read_block(start, count)
+        if self.mm is None:
+            self.mm = np.memmap(self.file_name, self.dtype, mode="r")
+        out = np.empty((count, self.frame_pixels), dtype=self.dtype)
+        for i in range(count):
+            off = (start + i) * self.frame_pixels
+            out[i] = self.mm[off:off + self.frame_pixels]
+        return out
+
+    def read_raw_indices(self, indices) -> np.ndarray:
+        if self.native is not None:
+            return self.native.read_indices(indices)
+        if self.mm is None:
+            self.mm = np.memmap(self.file_name, self.dtype, mode="r")
+        out = np.empty((len(indices), self.frame_pixels), dtype=self.dtype)
+        for i, idx in enumerate(indices):
+            off = int(idx) * self.frame_pixels
+            out[i] = self.mm[off:off + self.frame_pixels]
+        return out
 
     def get_frame_count(self) -> int:
         return self.frame_count
@@ -131,6 +167,35 @@ class YUVReader:
 
     def __exit__(self, type, value, tb):
         self.mm = None
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "w", "h", "bd", "ss", "bt2020", "resize", "rh", "rw", "dm", "rgb2y"))
+def _yuv_block_to_luminance(raw, w, h, bd, ss, bt2020, resize, rh, rw, dm, rgb2y):
+    """(n, frame_samples) raw fixed-point YUV -> (n, H', W') luminance, fully
+    on device (chroma upsample, CSC, optional resize, EOTF, RGB2Y)."""
+    y_px = w * h
+    if ss == "420":
+        uv_h, uv_w = h // 2, w // 2
+    else:
+        uv_h, uv_w = h, w
+    uv_px = uv_h * uv_w
+    Y = raw[:, :y_px].reshape(-1, h, w)
+    u = raw[:, y_px:y_px + uv_px].reshape(-1, uv_h, uv_w)
+    v = raw[:, y_px + uv_px:y_px + 2 * uv_px].reshape(-1, uv_h, uv_w)
+
+    def one(Yf, uf, vf):
+        RGB = jnp.clip(yuv_io.yuv_to_rgb(Yf, uf, vf, bd, ss, bt2020), 0.0, 1.0)
+        if resize is not None and (h != rh or w != rw):
+            method = {"nearest": "nearest", "bilinear": "bilinear",
+                      "bicubic": "cubic", "area": "linear"}[resize]
+            RGB = jnp.clip(jax.image.resize(RGB, (rh, rw, 3), method=method),
+                           0.0, 1.0)
+        return RGB
+
+    RGB = jax.vmap(one)(Y, u, v)          # (n, H', W', 3)
+    L = dm.forward(RGB.transpose(0, 3, 1, 2))
+    return L[:, 0] * rgb2y[0] + L[:, 1] * rgb2y[1] + L[:, 2] * rgb2y[2]
 
 
 class fvvdp_video_source_yuv_file(fvvdp_video_source_dm):
@@ -187,16 +252,33 @@ class fvvdp_video_source_yuv_file(fvvdp_video_source_dm):
     def get_reference_frame(self, frame, device=None):
         return self._frame_lum(self.reference_vidr, frame)[None, None]
 
+    def _block_args(self, vr):
+        resize = self.full_screen_resize
+        rh = self.resize_resolution[1] if resize is not None else vr.height
+        rw = self.resize_resolution[0] if resize is not None else vr.width
+        return dict(w=vr.width, h=vr.height, bd=vr.bit_depth, ss=vr.chroma_ss,
+                    bt2020=(vr.color_space == "2020"), resize=resize,
+                    rh=rh, rw=rw, dm=self.dm_photometry,
+                    rgb2y=tuple(float(c) for c in self.color_to_luminance))
+
     def get_luminance_block(self, start, count):
-        t = jnp.concatenate([self._frame_lum(self.test_vidr, start + i)
-                             for i in range(count)])
-        r = jnp.concatenate([self._frame_lum(self.reference_vidr, start + i)
-                             for i in range(count)])
+        t = _yuv_block_to_luminance(
+            jnp.asarray(self.test_vidr.read_raw_block(start, count)),
+            **self._block_args(self.test_vidr))
+        r = _yuv_block_to_luminance(
+            jnp.asarray(self.reference_vidr.read_raw_block(start, count)),
+            **self._block_args(self.reference_vidr))
         return t, r
 
     def get_indexed_luminance_block(self, indices):
-        t = jnp.concatenate([self._frame_lum(self.test_vidr, int(i))
-                             for i in indices])
-        r = jnp.concatenate([self._frame_lum(self.reference_vidr, int(i))
-                             for i in indices])
+        if len(indices) == 0:
+            h, w, _ = self.get_video_size()
+            empty = jnp.zeros((0, h, w), dtype=jnp.float32)
+            return empty, empty
+        t = _yuv_block_to_luminance(
+            jnp.asarray(self.test_vidr.read_raw_indices(indices)),
+            **self._block_args(self.test_vidr))
+        r = _yuv_block_to_luminance(
+            jnp.asarray(self.reference_vidr.read_raw_indices(indices)),
+            **self._block_args(self.reference_vidr))
         return t, r

@@ -38,11 +38,18 @@ def test_pallas_reduce_matches_jnp(shape):
 
 def test_pallas_dispatch_gradient():
     """The custom-VJP wrapper must produce the same gradient as the jnp path."""
-    _tpu_device()
+    dev = _tpu_device()
+    from fovvideovdp_tpu.ops import pallas as pallas_cfg
     from fovvideovdp_tpu.ops.pyramid import (gausspyr_reduce,
                                              _gausspyr_reduce_jnp)
-    x = jnp.asarray(np.random.RandomState(1).rand(1, 144, 256).astype(np.float32))
-    g1 = jax.grad(lambda v: jnp.sum(gausspyr_reduce(v) ** 2))(x)
+    x = jax.device_put(
+        jnp.asarray(np.random.RandomState(1).rand(1, 144, 256).astype(np.float32)),
+        dev)
+    pallas_cfg.set_use_pallas(True)
+    try:
+        g1 = jax.grad(lambda v: jnp.sum(gausspyr_reduce(v) ** 2))(x)
+    finally:
+        pallas_cfg.set_use_pallas(None)
     g2 = jax.grad(lambda v: jnp.sum(_gausspyr_reduce_jnp(v) ** 2))(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4,
                                atol=1e-5)
