@@ -152,3 +152,21 @@ class ImGaussFilt:
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
             precision=lax.Precision.HIGHEST)
         return y[0, 0] if squeeze else y
+
+
+def img2np(img):
+    """uint8 image -> float32 in [0, 1] (parity: pyfvvdp/utils.py:36-37)."""
+    return np.array(img, dtype="float32") / 255.0
+
+
+def l2rgb(x):
+    """Replicate a luminance plane into RGB (pyfvvdp/utils.py:42-43)."""
+    return np.concatenate([x, x, x], -1)
+
+
+def stack_horizontal(nparr):
+    return np.concatenate(list(nparr), axis=-2)
+
+
+def stack_vertical(nparr):
+    return np.concatenate(list(nparr), axis=-3)

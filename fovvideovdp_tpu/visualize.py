@@ -100,3 +100,20 @@ def visualize_diff_map(diff_map, context_image=None, colormap_type="supra-thresh
 def visualize_diff_map_frames(dmap, context, colormap_type="supra-threshold"):
     """vmapped multi-frame variant: dmap/context (F, 1, H, W) -> (F, 3, H, W)."""
     return jax.vmap(lambda d, c: visualize_diff_map(d, c, colormap_type))(dmap, context)
+
+
+def add_fixation_cross(frame, fixation_point, size: int = 21,
+                       value: float = 1.0):
+    """Overlay a gaze cross for debugging foveated runs
+    (port of matlab/utils/fvvdp_add_fixation_cross.m).
+
+    frame: (..., H, W); fixation_point: (x, y) in pixels."""
+    H, W = frame.shape[-2], frame.shape[-1]
+    fx = jnp.asarray(fixation_point[0], jnp.int32)
+    fy = jnp.asarray(fixation_point[1], jnp.int32)
+    half = size // 2
+    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    on_v = (jnp.abs(xx - fx) <= 1) & (jnp.abs(yy - fy) <= half)
+    on_h = (jnp.abs(yy - fy) <= 1) & (jnp.abs(xx - fx) <= half)
+    return jnp.where(on_v | on_h, value, frame)

@@ -1,0 +1,57 @@
+"""Benchmark grid: resolutions x frame counts, reproducing the reference's
+harness matrix (pyfvvdp/benchmark.sh:1-8: 720p/1080p/4K x {1, 60} frames)
+with working code (the reference scripts invoke a module that no longer
+exists, fvvdp.py:669-735).
+
+Usage: python tools/benchmark_grid.py [--frames 1 60] [--repeats 3]
+Prints one JSON line per config.
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+RESOLUTIONS = [(1280, 720), (1920, 1080), (3840, 2160)]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, nargs="+", default=[1, 60])
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--display", default="standard_4k")
+    args = ap.parse_args()
+
+    from fovvideovdp_tpu import fvvdp
+    from fovvideovdp_tpu.video_source import fvvdp_video_source_array
+
+    fv = fvvdp(display_name=args.display)
+    rng = np.random.RandomState(0)
+
+    for (W, H) in RESOLUTIONS:
+        for F in args.frames:
+            ref = rng.randint(0, 255, (H, W, 1, F), dtype=np.uint8)
+            tst = np.clip(ref.astype(np.int16)
+                          + rng.randint(-10, 10, ref.shape), 0, 255).astype(np.uint8)
+            fps = 0 if F == 1 else 30
+            vs = fvvdp_video_source_array(
+                tst, ref, fps, dim_order="HWCF",
+                display_photometry=fv.display_photometry)
+            Q, _ = fv.predict_video_source(vs)  # warm-up/compile + upload
+            best = None
+            for _ in range(args.repeats):
+                t0 = time.time()
+                Q, _ = fv.predict_video_source(vs)
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            print(json.dumps({
+                "resolution": f"{W}x{H}", "frames": F,
+                "seconds": round(best, 4),
+                "fps": round(F / best, 2),
+                "Q_jod": round(float(Q), 4),
+            }), flush=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
