@@ -7,6 +7,20 @@ user code ports with an import change.
 
 import os as _os
 
+# Persistent XLA compilation cache: metric programs are large (tens of
+# seconds to compile) but perfectly cacheable; this makes warm-up across
+# processes near-instant. Opt out by setting JAX_COMPILATION_CACHE_DIR="".
+if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
+    import jax as _jax
+    try:
+        if _jax.config.jax_compilation_cache_dir is None:
+            _jax.config.update(
+                "jax_compilation_cache_dir",
+                _os.path.expanduser("~/.cache/jax"))
+            _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 if _os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
     # Some environments force-register an accelerator plugin regardless of
     # JAX_PLATFORMS; honour the user's explicit CPU request anyway.
