@@ -147,25 +147,47 @@ def _csf_freq_size_lum(freq, area, color_dir, lum):
         bw=p["bw"], gamma=p["gamma"], Ac_prime=p["Ac_prime"])
 
 
-def sccsf_sensitivity_coldir(freq, LMS_mean, color_direction, area):
-    """Cone-contrast sensitivity along a DKL colour direction
-    (SCCSF.m:72-92 + SCCSF_ConeContrastMat.m:42-108)."""
+def sccsf_pdet(freq, LMS_mean, LMS_delta, area):
+    """Probability of detecting a Gabor patch of a given chromatic direction
+    and amplitude (SCCSF_ConeContrastMat.m:42-77).
+
+    Returns (P, C): detection probability and normalised detection contrast
+    (C = 1 at threshold)."""
     LMS_mean = np.atleast_2d(np.asarray(LMS_mean, dtype=np.float64))
-    LMS_delta = _COLDIR_DELTA[color_direction]
+    LMS_delta = np.atleast_2d(np.asarray(LMS_delta, dtype=np.float64))
 
     M = lms2acc_matrix()
     lum = LMS_mean[:, 0] + LMS_mean[:, 1]
 
-    CC_LMS = LMS_delta[None, :] / LMS_mean
+    CC_LMS = LMS_delta / LMS_mean
     CC_ACC = CC_LMS @ M.T
 
     C_n = np.zeros_like(CC_ACC)
     for cd in (1, 2, 3):
         C_n[:, cd - 1] = np.abs(CC_ACC[:, cd - 1]) * _csf_freq_size_lum(freq, area, cd, lum)
     C = np.sum(C_n ** _BETA, axis=1) ** (1.0 / _BETA)
+    P = 1.0 - np.exp(np.log(0.5) * C)
+    return P, C
 
-    LMS_delta_thr = LMS_delta[None, :] / C[:, None]
+
+def sccsf_sensitivity(freq, LMS_mean, LMS_delta, area):
+    """Sensitivity + threshold colour offset for a chromatic direction
+    (SCCSF_ConeContrastMat.m:79-108).
+
+    Returns (S, LMS_delta_thr, P, C)."""
+    LMS_mean = np.atleast_2d(np.asarray(LMS_mean, dtype=np.float64))
+    LMS_delta = np.atleast_2d(np.asarray(LMS_delta, dtype=np.float64))
+    P, C = sccsf_pdet(freq, LMS_mean, LMS_delta, area)
+    LMS_delta_thr = LMS_delta / C[:, None]
     S = 1.0 / (np.sqrt(np.sum((LMS_delta_thr / LMS_mean) ** 2, axis=1)) / np.sqrt(3.0))
+    return S, LMS_delta_thr, P, C
+
+
+def sccsf_sensitivity_coldir(freq, LMS_mean, color_direction, area):
+    """Cone-contrast sensitivity along a DKL colour direction
+    (SCCSF.m:72-92): 1 = achromatic, 2 = red-green, 3 = violet-yellow."""
+    LMS_delta = _COLDIR_DELTA[color_direction]
+    S, _, _, _ = sccsf_sensitivity(freq, LMS_mean, LMS_delta[None, :], area)
     return S
 
 

@@ -23,6 +23,12 @@ def apply_masking_model(T, R, N_nCSF, p: float, q: float, mask_c: float):
     return jnp.clip(D, None, 1e4)
 
 
+def weber2log(W):
+    """Weber contrast (B-A)/A -> log contrast log10(B/A)
+    (pyfvvdp/fvvdp.py:539-548)."""
+    return jnp.log10(1.0 + W)
+
+
 def lp_norm(x, p: float, axis=0, normalize: bool = True, keepdims: bool = True):
     """(sum |x|^p)^(1/p), optionally normalised by N^(1/p) along `axis`
     (pyfvvdp/fvvdp.py:598-607)."""

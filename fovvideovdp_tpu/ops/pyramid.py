@@ -238,6 +238,14 @@ class PyramidPlan:
     def set_band(self, bands: List[jnp.ndarray], band: int, data: jnp.ndarray) -> None:
         bands[band] = data / self.band_gain(band, len(bands))
 
+    @staticmethod
+    def get_gband(gbands: Sequence[jnp.ndarray], band: int) -> jnp.ndarray:
+        """Gaussian-level accessor (parity: fvvdp_lpyr_dec.py:73-74)."""
+        return gbands[band]
+
+    def get_gband_count(self) -> int:
+        return self.height + 1
+
     # -- decompositions ------------------------------------------------------
     def gaussian_pyramid(self, image: jnp.ndarray) -> List[jnp.ndarray]:
         levels = [image]
