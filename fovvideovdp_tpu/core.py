@@ -197,6 +197,17 @@ class MetricCore:
 
         gaze_dir = self._gaze_directions(gaze) if self.foveated else None
 
+        # Fully fused CSF+masking+norm Pallas path for the default
+        # configuration (per band/channel, one VMEM pass, no HBM
+        # intermediates); everything else uses the jnp composition below.
+        from fovvideovdp_tpu.ops import pallas as pallas_cfg
+        fused_ok = (not self.foveated and not self.do_heatmap
+                    and is_contrast and self.contrast != "log"
+                    and self.masking_model == "min_mutual_masking_perc_norm2"
+                    and not self.ignore_boundary_pixels
+                    and self.band_callback is None
+                    and R.dtype == jnp.float32 and pallas_cfg.use_pallas())
+
         Q_rows = []
         heat_bands: List[jnp.ndarray] = []
         n_bands = plan.get_band_count()
@@ -228,6 +239,22 @@ class MetricCore:
 
             Q_cc = []
             D_acc = None
+            if fused_ok:
+                from fovvideovdp_tpu.ops.pallas import band_score as bs
+                if bs.supports(band.shape[-2], band.shape[-1]):
+                    for cc in range(temp_ch):
+                        ssum = bs.band_score_pallas(
+                            band[:, cc * 2], band[:, cc * 2 + 1], L_bkg,
+                            self._band_tables[bb][cc], self.luts[cc],
+                            p["mask_p"],
+                            (p["mask_q_sust"], p["mask_q_trans"])[cc],
+                            p["mask_c"], sens_corr, p["beta"])
+                        Q_cc.append(jnp.power(ssum, 1.0 / p["beta"])
+                                    / (float(npix) ** (1.0 / p["beta"])))
+                    while len(Q_cc) < 2:
+                        Q_cc.append(jnp.zeros((F,), dtype=R.dtype))
+                    Q_rows.append(jnp.stack(Q_cc, axis=0))
+                    continue
             for cc in range(temp_ch):
                 T_f = band[:, cc * 2]
                 R_f = band[:, cc * 2 + 1]

@@ -1,0 +1,157 @@
+"""Fused CSF + masking + beta-norm band scorer (Pallas TPU kernel).
+
+For one (band, temporal-channel) pair this computes, in a single VMEM pass
+over the band:
+
+    u   = (log2(clip(L_bkg)) - y0) / dy                 # uniform LUT coord
+    S   = 2^interp(table, u) * sensitivity_correction   # CSF sensitivity
+    T'  = T * S;  R' = R * S                            # threshold units
+    M   = 10^mask_c * min(|T'|, |R'|)                   # mutual masking
+    D   = min(|T' - R'|^p / (1 + M^q), 1e4)             # visual difference
+    out = sum over tile of D^beta                       # norm partial
+
+The 32-entry table interpolation is an unrolled hat-function accumulation
+(exact linear interpolation on the uniform grid) on the VPU — the XLA
+one-hot formulation materialises an (npix, 32) intermediate in HBM, which
+dominates the stage's runtime.  Partial sums per row-tile are reduced to
+the final (sum D^beta)^(1/beta) / npix^(1/beta) in XLA.
+
+Only used on the default path (non-foveated, no heatmap); the jnp
+composition in core.score_frames is the fallback and the gradient rule.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fovvideovdp_tpu.ops.pyramid import ceildiv
+
+_TR = 32  # rows per program (3 input blocks + temporaries must fit VMEM)
+
+
+def _band_score_kernel(t32_ref, T_ref, R_ref, L_ref, out_ref,
+                       *, y0, dy, Ymin, Ymax, p, q, c10, corr, beta, n_grid):
+    f = pl.program_id(0)
+    rt = pl.program_id(1)
+    T = T_ref[0]
+    R = R_ref[0]
+    L = L_ref[0]
+
+    u = (jnp.log2(jnp.clip(L, Ymin, Ymax)) - y0) / dy
+    u = jnp.clip(u, 0.0, float(n_grid - 1))
+    s_log = jnp.zeros_like(u)
+    for i in range(n_grid):
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(u - float(i)))
+        s_log = s_log + t32_ref[0, i] * w
+    Se = jnp.exp2(s_log) * corr
+
+    Tn = T * Se
+    Rn = R * Se
+    M = c10 * jnp.minimum(jnp.abs(Tn), jnp.abs(Rn))
+    D = jnp.power(jnp.abs(Tn - Rn), p) / (1.0 + jnp.power(M, q))
+    D = jnp.minimum(D, 1e4)
+    out_ref[f, rt] = jnp.sum(jnp.power(D, beta))
+
+
+def supports(h: int, w: int) -> bool:
+    return w >= 128 and h >= 8
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "y0", "dy", "Ymin", "Ymax", "p", "q", "c10", "corr", "beta"))
+def _band_score_call(T, R, L, table, y0, dy, Ymin, Ymax, p, q, c10, corr, beta):
+    F, h, w = T.shape
+    TR = min(_TR, max(8, h))
+    n_tiles = ceildiv(h, TR)
+    hp = n_tiles * TR
+    wp = ceildiv(w, 128) * 128
+    if hp != h or wp != w:
+        # pad with T == R (D = 0 there, so padded pixels contribute nothing)
+        pad = ((0, 0), (0, hp - h), (0, wp - w))
+        T = jnp.pad(T, pad)
+        R = jnp.pad(R, pad)
+        L = jnp.pad(L, pad, constant_values=1.0)
+
+    partials = pl.pallas_call(
+        functools.partial(_band_score_kernel, y0=y0, dy=dy, Ymin=Ymin,
+                          Ymax=Ymax, p=p, q=q, c10=c10, corr=corr, beta=beta,
+                          n_grid=table.shape[0]),
+        grid=(F, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, table.shape[0]), lambda f, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TR, wp), lambda f, t: (f, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TR, wp), lambda f, t: (f, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TR, wp), lambda f, t: (f, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((F, n_tiles), lambda f, t: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((F, n_tiles), T.dtype),
+    )(table[None, :], T, R, L)
+    return jnp.sum(partials, axis=1)  # (F,) sums of D^beta
+
+
+def _band_score_jnp(T, R, L, table, meta):
+    """jnp composition with identical math (fallback + gradient rule)."""
+    y0, dy, Ymin, Ymax, p, q, c10, corr, beta = meta
+    n = table.shape[0]
+    u = jnp.clip((jnp.log2(jnp.clip(L, Ymin, Ymax)) - y0) / dy, 0.0,
+                 float(n - 1))
+    i0 = jnp.floor(u).astype(jnp.int32)
+    f = u - i0
+    i1 = jnp.minimum(i0 + 1, n - 1)
+    oh = (jax.nn.one_hot(i0, n, dtype=L.dtype) * (1.0 - f)[..., None]
+          + jax.nn.one_hot(i1, n, dtype=L.dtype) * f[..., None])
+    Se = jnp.exp2(oh @ table) * corr
+    Tn = T * Se
+    Rn = R * Se
+    M = c10 * jnp.minimum(jnp.abs(Tn), jnp.abs(Rn))
+    D = jnp.minimum(jnp.power(jnp.abs(Tn - Rn), p) / (1.0 + jnp.power(M, q)),
+                    1e4)
+    return jnp.sum(jnp.power(D, beta), axis=(-2, -1))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _band_score(T, R, L, table, meta):
+    y0, dy, Ymin, Ymax, p, q, c10, corr, beta = meta
+    return _band_score_call(T, R, L, table, y0=y0, dy=dy, Ymin=Ymin,
+                            Ymax=Ymax, p=p, q=q, c10=c10, corr=corr,
+                            beta=beta)
+
+
+def _bs_fwd(T, R, L, table, meta):
+    return _band_score(T, R, L, table, meta), (T, R, L, table)
+
+
+def _bs_bwd(meta, res, g):
+    T, R, L, table = res
+    _, vjp = jax.vjp(lambda a, b, c, t: _band_score_jnp(a, b, c, t, meta),
+                     T, R, L, table)
+    return vjp(g)
+
+
+_band_score.defvjp(_bs_fwd, _bs_bwd)
+
+
+def band_score_pallas(T, R, L_bkg, table_1d, lut, p, q, mask_c, sens_corr,
+                      beta):
+    """Fused band scoring: returns per-frame sum over pixels of D^beta.
+
+    Matches csf.sensitivity_1d + ops.masking.apply_masking_model + the
+    beta-power sum in core.score_frames; differentiable via the jnp rule."""
+    Y_log = np.asarray(lut["Y_log"])
+    Y = np.asarray(lut["Y"])
+    meta = (float(Y_log[0]),
+            float((Y_log[-1] - Y_log[0]) / (Y_log.shape[0] - 1)),
+            float(Y[0]), float(Y[-1]),
+            float(p), float(q), float(10.0 ** mask_c), float(sens_corr),
+            float(beta))
+    return _band_score(T, R, L_bkg, jnp.asarray(table_1d), meta)

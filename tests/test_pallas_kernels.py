@@ -36,6 +36,33 @@ def test_pallas_reduce_matches_jnp(shape):
     assert rel < 1e-6, f"rel err {rel}"
 
 
+def test_pallas_band_score_matches_jnp():
+    dev = _tpu_device()
+    from fovvideovdp_tpu.ops.pallas import band_score as bs
+    import __graft_entry__ as ge
+    core = ge._make_core(256, 160)
+    p = core.params
+    rng = np.random.RandomState(0)
+    T = jax.device_put(jnp.asarray(rng.randn(3, 160, 256).astype(np.float32)), dev)
+    R = T + 0.03
+    L = jax.device_put(jnp.asarray(
+        (rng.rand(3, 160, 256) * 300 + 0.5).astype(np.float32)), dev)
+    corr = 10.0 ** (p["sensitivity_correction"] / 20)
+    tbl = core._band_tables[0][0]
+    got = np.asarray(bs.band_score_pallas(
+        T, R, L, tbl, core.luts[0], p["mask_p"], p["mask_q_sust"],
+        p["mask_c"], corr, p["beta"]))
+    meta = (float(np.asarray(core.luts[0]["Y_log"])[0]),
+            float((np.asarray(core.luts[0]["Y_log"])[-1]
+                   - np.asarray(core.luts[0]["Y_log"])[0]) / 31),
+            float(np.asarray(core.luts[0]["Y"])[0]),
+            float(np.asarray(core.luts[0]["Y"])[-1]),
+            float(p["mask_p"]), float(p["mask_q_sust"]),
+            float(10.0 ** p["mask_c"]), float(corr), float(p["beta"]))
+    want = np.asarray(bs._band_score_jnp(T, R, L, jnp.asarray(tbl), meta))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
 def test_pallas_dispatch_gradient():
     """The custom-VJP wrapper must produce the same gradient as the jnp path."""
     dev = _tpu_device()
