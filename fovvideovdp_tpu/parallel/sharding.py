@@ -80,6 +80,38 @@ def shard_video_block_fn(core, filt: np.ndarray, mesh: Mesh):
     return jax.jit(fn, in_shardings=in_shardings, out_shardings=out_shardings)
 
 
+def make_batch_scorer(core, mesh: Mesh, pool_params: dict):
+    """Batch-of-image-pairs scorer sharded over the 'data' mesh axis.
+
+    The reference farms independent pairs out as one SLURM process per GPU
+    (pyfvvdp/benchmark_cluster.sh); here a batch of pairs is one SPMD
+    program: inputs (N, H, W) luminance, N sharded over 'data', each pair
+    scored independently and pooled to its own JOD.
+
+    Returns a jitted fn (tests, refs) -> (N,) JOD scores.
+    """
+    import jax.numpy as jnp
+
+    from fovvideovdp_tpu.ops import masking as mask_ops
+
+    batch_sharding = NamedSharding(mesh, P("data", None, None))
+    out_sharding = NamedSharding(mesh, P("data"))
+
+    def score_one(T, Rf):
+        R = jnp.stack([T, Rf], axis=0)[None]
+        Q_per_ch, _ = core.score_frames(R, None, temp_ch=1)
+        return mask_ops.pool_to_jod(
+            Q_per_ch, pool_params["w_transient"], pool_params["beta_sch"],
+            pool_params["beta_tch"], pool_params["beta_t"],
+            pool_params["jod_a"], pool_params["log_jod_exp"])
+
+    def fn(tests, refs):
+        return jax.vmap(score_one)(tests, refs)
+
+    return jax.jit(fn, in_shardings=(batch_sharding, batch_sharding),
+                   out_shardings=out_sharding)
+
+
 def shard_image_fn(core, mesh: Mesh):
     """Sharded single-image scorer: rows over 'space' (a lone image has no
     frame axis to shard)."""

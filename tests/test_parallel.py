@@ -55,3 +55,34 @@ def test_sharded_image_matches_single_device():
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_batch_scorer_sharded_over_pairs():
+    """A batch of independent image pairs sharded over the 'data' axis must
+    reproduce per-pair single-device JODs."""
+    core = _make_core()
+    import __graft_entry__ as ge
+    from fovvideovdp_tpu.utils import config_files, json2dict
+    from fovvideovdp_tpu.parallel import make_batch_scorer
+    from fovvideovdp_tpu.ops import masking as mask_ops
+
+    params = json2dict(config_files.find("fvvdp_parameters.json"))
+    mesh = make_mesh(_cpu_devices(8), data_parallel=8)
+    fn = make_batch_scorer(core, mesh, params)
+
+    rng = np.random.RandomState(0)
+    N = 8
+    refs = jnp.asarray(rng.rand(N, 48, 64).astype(np.float32) * 150 + 0.5)
+    tests = refs + jnp.asarray(rng.randn(N, 48, 64).astype(np.float32))
+    Q = np.asarray(fn(tests, refs))
+    assert Q.shape == (N,)
+    assert np.isfinite(Q).all() and (Q <= 10).all()
+
+    # single-device per-pair check
+    img_fn = core.image_fn()
+    for i in [0, 3, 7]:
+        Qc, _ = img_fn(tests[i], refs[i])
+        Qi = float(mask_ops.pool_to_jod(
+            Qc, params["w_transient"], params["beta_sch"], params["beta_tch"],
+            params["beta_t"], params["jod_a"], params["log_jod_exp"]))
+        np.testing.assert_allclose(Q[i], Qi, rtol=1e-5, atol=1e-5)
