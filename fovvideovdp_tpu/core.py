@@ -13,7 +13,6 @@ ordered [test-sustained, ref-sustained, test-transient, ref-transient]
 """
 from __future__ import annotations
 
-import functools
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax

@@ -17,7 +17,7 @@ from __future__ import annotations
 import logging
 import math
 from abc import ABC, abstractmethod
-from typing import Optional, Sequence, Tuple
+from typing import Sequence
 
 import jax.numpy as jnp
 import numpy as np

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import json
 import logging
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import jax.numpy as jnp
 import numpy as np

@@ -16,8 +16,6 @@ All functions are jnp and jit-able; inputs are (H, W) or (H, W, 3) arrays.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -20,7 +20,6 @@ for JOD parity on levels whose height and width parities differ.
 from __future__ import annotations
 
 import functools
-import math
 from typing import List, Sequence, Tuple
 
 import jax

@@ -14,8 +14,7 @@ core functions used single-chip — no separate distributed code path.
 """
 from __future__ import annotations
 
-import math
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import functools
 from abc import ABC, abstractmethod
-from typing import Iterator, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ import os
 import re
 import shutil
 import subprocess
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,8 +13,6 @@ import functools
 import logging
 import os
 import re
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
