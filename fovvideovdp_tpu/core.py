@@ -174,8 +174,9 @@ class MetricCore:
             D = jnp.abs(T - Rf) / N_nCSF
         elif model == "min_mutual_masking_perc_norm2":
             q = (p["mask_q_sust"], p["mask_q_trans"])[cc]
-            return mask_ops.apply_masking_model(T, Rf, N_nCSF, p["mask_p"], q,
-                                                p["mask_c"])
+            return mask_ops.apply_masking_model(
+                T, Rf, N_nCSF, p["mask_p"], q, p["mask_c"],
+                pu_dilate=float(p.get("pu_dilate", 0.0)))
         else:
             raise RuntimeError(f"Unknown masking model: {model}")
         return jnp.clip(D, None, 1e4)
@@ -203,6 +204,10 @@ class MetricCore:
         fused_ok = (not self.foveated and not self.do_heatmap
                     and is_contrast and self.contrast != "log"
                     and self.masking_model == "min_mutual_masking_perc_norm2"
+                    and float(p.get("pu_dilate", 0.0)) == 0.0
+                    # the Pallas kernel's LUT coordinate is index arithmetic,
+                    # valid only for Y grids uniform in log2 space
+                    and all(csf_mod._axis_uniform(l, "Y_log") for l in self.luts)
                     and not self.ignore_boundary_pixels
                     and self.band_callback is None
                     and R.dtype == jnp.float32 and pallas_cfg.use_pallas())
@@ -258,8 +263,13 @@ class MetricCore:
                 T_f = band[:, cc * 2]
                 R_f = band[:, cc * 2 + 1]
                 if not is_contrast and self.contrast != "log":
-                    T_f = jnp.clip(T_f / L_bkg, None, 1000.0)
-                    R_f = jnp.clip(R_f / L_bkg, None, 1000.0)
+                    # clamp L_bkg >= 0.1 before the division, matching the
+                    # reference's compute_local_contrast (fvvdp.py:496-498)
+                    # and the fused default path; the CSF below still sees the
+                    # unclamped background luminance.
+                    L_bkg_c = jnp.clip(L_bkg, 0.1, None)
+                    T_f = jnp.clip(T_f / L_bkg_c, None, 1000.0)
+                    R_f = jnp.clip(R_f / L_bkg_c, None, 1000.0)
 
                 if self.foveated:
                     S = csf_mod.sensitivity_trilinear(self.luts[cc], rho, L_bkg, ecc)

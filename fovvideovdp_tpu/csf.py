@@ -55,6 +55,13 @@ class CSFCache:
             lut_np = self._generate(omega, sigma, k_cm)
 
         lut = {k: jnp.asarray(v, dtype=jnp.float32) for k, v in lut_np.items()}
+        # The fast interpolation paths use direct index arithmetic, valid only
+        # on grids uniform in their transformed space; user-supplied .mat
+        # caches may have arbitrary monotone grids and take a searchsorted-
+        # equivalent path instead (ADVICE: silent mis-interpolation otherwise).
+        lut["_uniform"] = {
+            ax: _grid_is_uniform(np.asarray(lut_np[ax]))
+            for ax in ("Y_log", "rho_log", "ecc_sqrt")}
         self._cache[key] = lut
         return lut
 
@@ -80,6 +87,18 @@ class CSFCache:
     def _generate(self, omega: float, sigma: float, k_cm: float):
         from fovvideovdp_tpu import csf_generator
         return csf_generator.precompute_lut(omega, sigma, k_cm)
+
+
+def _grid_is_uniform(grid: np.ndarray, rtol: float = 1e-4) -> bool:
+    d = np.diff(np.asarray(grid, dtype=np.float64))
+    return bool(d.size == 0 or np.allclose(d, d[0], rtol=rtol, atol=1e-7))
+
+
+def lut_is_uniform(lut: Dict) -> bool:
+    """True when every LUT axis is uniform in its transformed space (the
+    shipped calibration LUTs are; user .mat caches may not be)."""
+    flags = lut.get("_uniform")
+    return flags is None or all(flags.values())
 
 
 def _interpolants_np(x_q: float, x: np.ndarray):
@@ -119,30 +138,6 @@ def reduce_lut_to_1d(lut: Dict[str, jnp.ndarray], rho: float, ecc: float) -> np.
     return t.astype(np.float32)
 
 
-def sensitivity_1d(lut: Dict[str, jnp.ndarray], table_1d, L_bkg):
-    """Per-pixel S from a pre-reduced 1-D S_log(Y_log) table.
-
-    The Y grid is uniform in log2 space, so the cell index is direct
-    arithmetic; the 2-point interpolation is expressed as a one-hot
-    contraction, which XLA fuses into dense VPU/MXU work — per-pixel
-    gathers are pathologically slow on TPU.
-    """
-    Y_log = lut["Y_log"]
-    y0 = Y_log[0]
-    dy = (Y_log[-1] - Y_log[0]) / (Y_log.shape[0] - 1)
-    n = Y_log.shape[0]
-
-    Yq = jnp.log2(jnp.clip(L_bkg, lut["Y"][0], lut["Y"][-1]))
-    u = jnp.clip((Yq - y0) / dy, 0.0, float(n - 1))
-    i0 = jnp.floor(u).astype(jnp.int32)
-    f = u - i0
-    i1 = jnp.minimum(i0 + 1, n - 1)
-    oh = (jax.nn.one_hot(i0, n, dtype=L_bkg.dtype) * (1.0 - f)[..., None]
-          + jax.nn.one_hot(i1, n, dtype=L_bkg.dtype) * f[..., None])
-    s_log = oh @ jnp.asarray(table_1d)
-    return jnp.power(2.0, s_log)
-
-
 def _uniform_weights(q, grid):
     """2-point interpolation weights on a uniform grid as a dense one-hot
     row (n,) per query — gather-free."""
@@ -155,6 +150,48 @@ def _uniform_weights(q, grid):
     i1 = jnp.minimum(i0 + 1, n - 1)
     return (jax.nn.one_hot(i0, n, dtype=q.dtype) * (1.0 - f)[..., None]
             + jax.nn.one_hot(i1, n, dtype=q.dtype) * f[..., None])
+
+
+def _monotone_weights(q, grid):
+    """2-point interpolation weights on an arbitrary monotone grid, still
+    gather-free: the cell search is a dense comparison count (searchsorted
+    semantics of the reference interpolants, pyfvvdp/interp.py:11-20) and
+    grid values are read back through one-hot contractions."""
+    n = grid.shape[0]
+    qf = q[..., None]
+    i_hi = jnp.minimum(jnp.sum((grid < qf).astype(jnp.int32), axis=-1), n - 1)
+    i_lo = jnp.clip(i_hi - 1, 0, n - 1)
+    oh_lo = jax.nn.one_hot(i_lo, n, dtype=q.dtype)
+    oh_hi = jax.nn.one_hot(i_hi, n, dtype=q.dtype)
+    x_lo = oh_lo @ grid
+    x_hi = oh_hi @ grid
+    f = (q - x_lo) / (x_hi - x_lo + 1e-6)
+    f = jnp.where((i_hi == i_lo) | (f < 0.0), 0.0, f)
+    return oh_lo * (1.0 - f)[..., None] + oh_hi * f[..., None]
+
+
+def _grid_weights(q, grid, uniform: bool):
+    return _uniform_weights(q, grid) if uniform else _monotone_weights(q, grid)
+
+
+def _axis_uniform(lut: Dict, axis: str) -> bool:
+    flags = lut.get("_uniform")
+    return True if flags is None else bool(flags[axis])
+
+
+def sensitivity_1d(lut: Dict[str, jnp.ndarray], table_1d, L_bkg):
+    """Per-pixel S from a pre-reduced 1-D S_log(Y_log) table.
+
+    The shipped LUTs' Y grid is uniform in log2 space, so the cell index is
+    direct arithmetic (non-uniform user LUTs take the comparison-count
+    path); the 2-point interpolation is expressed as a one-hot contraction,
+    which XLA fuses into dense VPU/MXU work — per-pixel gathers are
+    pathologically slow on TPU.
+    """
+    Yq = jnp.log2(jnp.clip(L_bkg, lut["Y"][0], lut["Y"][-1]))
+    oh = _grid_weights(Yq, lut["Y_log"], _axis_uniform(lut, "Y_log"))
+    s_log = oh @ jnp.asarray(table_1d)
+    return jnp.power(2.0, s_log)
 
 
 _TRILINEAR_CHUNK = 16384
@@ -192,11 +229,15 @@ def sensitivity_trilinear(lut: Dict[str, jnp.ndarray], rho, L_bkg, ecc):
 
     V_flat = V.reshape(n, n * n)
 
+    u_y = _axis_uniform(lut, "Y_log")
+    u_r = _axis_uniform(lut, "rho_log")
+    u_e = _axis_uniform(lut, "ecc_sqrt")
+
     def one_chunk(args):
         yq, rq, eq = args
-        w_y = _uniform_weights(yq, lut["Y_log"])        # (c, 32)
-        w_r = _uniform_weights(rq, lut["rho_log"])      # (c, 32)
-        w_e = _uniform_weights(eq, lut["ecc_sqrt"])     # (c, 32)
+        w_y = _grid_weights(yq, lut["Y_log"], u_y)      # (c, 32)
+        w_r = _grid_weights(rq, lut["rho_log"], u_r)    # (c, 32)
+        w_e = _grid_weights(eq, lut["ecc_sqrt"], u_e)   # (c, 32)
         A = (w_y @ V_flat).reshape(-1, n, n)            # (c, rho, ecc)
         B = jnp.einsum("pik,pi->pk", A, w_r)            # (c, ecc)
         return jnp.sum(B * w_e, axis=-1)                # (c,)

@@ -318,6 +318,101 @@ class fvvdp:
                                (count, 2)).copy()
 
     # ------------------------------------------------------------------
+    # batched scoring (N independent pairs in one SPMD program)
+    # ------------------------------------------------------------------
+    def predict_batch(self, test_conts, reference_conts, dim_order="BCFHW",
+                      frames_per_second=0, mesh=None):
+        """Score a batch of N test/reference pairs in ONE SPMD program.
+
+        The batch axis is sharded over the device mesh (all devices by
+        default); each device scores its local pairs with the single-chip
+        core, so throughput scales linearly with chips and there is no
+        cross-pair communication.  This replaces the reference's job-level
+        SLURM farming (pyfvvdp/benchmark_cluster.sh) with one program.
+
+        Inputs follow ``predict`` conventions but with a leading batch axis
+        (any ``dim_order`` containing 'B').  Videos are scored whole-clip in
+        device memory: N * n_frames * H * W floats must fit across the mesh.
+        Foveated batch scoring is not supported yet.
+
+        Returns (Q_JOD (N,) np.ndarray, stats dict).
+        """
+        import jax
+
+        from fovvideovdp_tpu.parallel import (make_batch_scorer,
+                                              make_batch_video_scorer,
+                                              make_mesh)
+        from fovvideovdp_tpu.video_source import (_decode_raw,
+                                                  reshuffle_dims)
+
+        if self.foveated:
+            raise RuntimeError("predict_batch does not support foveated mode")
+        if "B" not in dim_order.upper():
+            raise RuntimeError("predict_batch needs a batch axis; include "
+                               "'B' in dim_order")
+
+        t = reshuffle_dims(np.asarray(test_conts), dim_order, "BCFHW")
+        r = reshuffle_dims(np.asarray(reference_conts), dim_order, "BCFHW")
+        if t.shape != r.shape:
+            raise RuntimeError("Test and reference batches must have the "
+                               "same shape")
+        N, C, F, H, W = t.shape
+        if F > 1 and frames_per_second <= 0:
+            raise RuntimeError("When passing video sequences, you must set "
+                               "'frames_per_second' parameter")
+        if C not in (1, 3):
+            raise RuntimeError("The content must have either 1 or 3 colour "
+                               "channels.")
+
+        if mesh is None:
+            mesh = make_mesh()
+        n_dev = int(np.prod(mesh.devices.shape))
+
+        colorspaces = utils.json2dict(utils.config_files.find("color_spaces.json"))
+        rgb2y = tuple(float(c) for c in colorspaces[self.color_space]["RGB2Y"])
+        dm = self.display_photometry
+
+        @jax.jit
+        def to_lum(x):  # (n, C, F, H, W) raw -> (n, F, H, W) luminance
+            L = dm.forward(_decode_raw(x))
+            if C == 3:
+                return (L[:, 0] * rgb2y[0] + L[:, 1] * rgb2y[1]
+                        + L[:, 2] * rgb2y[2])
+            return L[:, 0]
+
+        lum_t = to_lum(jnp.asarray(t))
+        lum_r = to_lum(jnp.asarray(r))
+        if self.contrast == "log":
+            lum_t = jnp.log10(jnp.clip(lum_t, 1e-6, None))
+            lum_r = jnp.log10(jnp.clip(lum_r, 1e-6, None))
+
+        # pad the batch to a multiple of the device count; extras are
+        # replicas of the last pair and sliced off below
+        pad = (-N) % n_dev
+        if pad:
+            lum_t = jnp.concatenate([lum_t, jnp.repeat(lum_t[-1:], pad, axis=0)])
+            lum_r = jnp.concatenate([lum_r, jnp.repeat(lum_r[-1:], pad, axis=0)])
+
+        core = self._get_core(W, H)
+        stats = {"width": W, "height": H, "N_frames": F, "N_pairs": N,
+                 "frames_per_second": frames_per_second}
+        if F == 1:
+            fn = make_batch_scorer(core, mesh, self.parameters)
+            jods = fn(lum_t[:, 0], lum_r[:, 0])
+        else:
+            fl = temporal_ops.filter_len_for_fps(frames_per_second)
+            filt = temporal_ops.temporal_filters(
+                frames_per_second, fl, self.sustained_sigma, self.sustained_beta)
+            idx = jnp.asarray(temporal_ops.padding_indices(
+                F, fl, self.temp_padding))
+            pt = jnp.take(lum_t, idx, axis=1)
+            pr = jnp.take(lum_r, idx, axis=1)
+            fn = make_batch_video_scorer(core, filt, mesh, self.parameters)
+            jods, Q_pc = fn(pt, pr)
+            stats["Q_per_ch"] = np.asarray(Q_pc)[:, :, :N]
+        return np.asarray(jods)[:N], stats
+
+    # ------------------------------------------------------------------
     # differentiable path (metric-as-loss for training)
     # ------------------------------------------------------------------
     def predict_traced(self, test_cont, reference_cont, dim_order="BCFHW",
@@ -343,7 +438,11 @@ class fvvdp:
                                   dim_order, "BCFHW")
         B, C, F, H, W = x_t.shape
         if B != 1:
-            raise RuntimeError("predict_traced supports batch size 1")
+            raise RuntimeError("predict_traced supports batch size 1; "
+                               "use predict_batch for batches of pairs")
+        if F > 1 and frames_per_second <= 0:
+            raise RuntimeError(
+                "When passing video sequences, you must set 'frames_per_second' parameter")
 
         colorspaces = utils.json2dict(utils.config_files.find("color_spaces.json"))
         rgb2y = colorspaces[self.color_space]["RGB2Y"]

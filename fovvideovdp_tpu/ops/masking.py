@@ -10,16 +10,30 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def apply_masking_model(T, R, N_nCSF, p: float, q: float, mask_c: float):
+def apply_masking_model(T, R, N_nCSF, p: float, q: float, mask_c: float,
+                        pu_dilate: float = 0.0):
     """Masked visual difference D for one band/channel.
 
     T, R: test/reference contrast; N_nCSF: per-pixel contrast threshold (1/S).
-    D = |T/N - R/N|^p / (1 + (10^mask_c * min(|T/N|, |R/N|))^q), clamped to 1e4.
+    D = |T/N - R/N|^p / (1 + M_pu^q), clamped to 1e4, where the
+    phase-uncertainty masking signal is
+    M_pu = 10^mask_c * min(|T/N|, |R/N|) when ``pu_dilate`` is 0, and its
+    Gaussian dilation 10^mask_c * imgaussfilt(min(...), pu_dilate) otherwise.
+    The dilation branch follows matlab/fvvdp_core.m:546-552 (replicate
+    padding, MATLAB imgaussfilt semantics) — the Python reference's branch
+    is unreachable there (pyfvvdp/fvvdp.py:552 calls utils.imgaussfilt,
+    which does not exist; only the ImGaussFilt class does).
     """
     T = T / N_nCSF
     R = R / N_nCSF
-    M = jnp.power(10.0, mask_c) * jnp.minimum(jnp.abs(T), jnp.abs(R))
-    D = jnp.power(jnp.abs(T - R), p) / (1.0 + jnp.power(M, q))
+    M = jnp.minimum(jnp.abs(T), jnp.abs(R))
+    if pu_dilate != 0.0:
+        from fovvideovdp_tpu.utils import ImGaussFilt
+        gf = ImGaussFilt(pu_dilate, pad_mode="edge")
+        # M is (..., h, w); blur each leading slice as one conv batch
+        M = gf.run(M.reshape((-1, 1) + M.shape[-2:])).reshape(M.shape)
+    M_pu = jnp.power(10.0, mask_c) * M
+    D = jnp.power(jnp.abs(T - R), p) / (1.0 + jnp.power(M_pu, q))
     return jnp.clip(D, None, 1e4)
 
 

@@ -63,8 +63,9 @@ def supports(h: int, w: int) -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "y0", "dy", "Ymin", "Ymax", "p", "q", "c10", "corr", "beta"))
-def _band_score_call(T, R, L, table, y0, dy, Ymin, Ymax, p, q, c10, corr, beta):
+    "y0", "dy", "Ymin", "Ymax", "p", "q", "c10", "corr", "beta", "interpret"))
+def _band_score_call(T, R, L, table, y0, dy, Ymin, Ymax, p, q, c10, corr, beta,
+                     interpret=False):
     F, h, w = T.shape
     TR = min(_TR, max(8, h))
     n_tiles = ceildiv(h, TR)
@@ -95,6 +96,7 @@ def _band_score_call(T, R, L, table, y0, dy, Ymin, Ymax, p, q, c10, corr, beta):
         out_specs=pl.BlockSpec((F, n_tiles), lambda f, t: (0, 0),
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((F, n_tiles), T.dtype),
+        interpret=interpret,
     )(table[None, :], T, R, L)
     return jnp.sum(partials, axis=1)  # (F,) sums of D^beta
 
@@ -121,10 +123,11 @@ def _band_score_jnp(T, R, L, table, meta):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _band_score(T, R, L, table, meta):
+    from fovvideovdp_tpu.ops import pallas as pallas_cfg
     y0, dy, Ymin, Ymax, p, q, c10, corr, beta = meta
     return _band_score_call(T, R, L, table, y0=y0, dy=dy, Ymin=Ymin,
                             Ymax=Ymax, p=p, q=q, c10=c10, corr=corr,
-                            beta=beta)
+                            beta=beta, interpret=pallas_cfg.interpret_mode())
 
 
 def _bs_fwd(T, R, L, table, meta):

@@ -147,6 +147,7 @@ def expand_contrast_pallas(g_fine: jnp.ndarray, g_coarse: jnp.ndarray,
     Bv = jnp.asarray(_banded_expand(16, _TRO).T)  # Bv[j, i] = 2K[2i - j]
     Mh = jnp.asarray(_banded_expand(_CBO // 2 + 2, _CBO))
 
+    from fovvideovdp_tpu.ops import pallas as pallas_cfg
     contrast, lbkg = pl.pallas_call(
         functools.partial(_expand_contrast_kernel, H=H, W=W, h2=h2, w2=w2,
                           Wp=Wp, C=C, bkg_ch=bkg_channel),
@@ -156,7 +157,7 @@ def expand_contrast_pallas(g_fine: jnp.ndarray, g_coarse: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_CBO // 2 + 2, _CBO), lambda f, rt: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, C, _TRO, Wp), lambda f, rt: (f, 0, rt, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -174,5 +175,6 @@ def expand_contrast_pallas(g_fine: jnp.ndarray, g_coarse: jnp.ndarray,
             pltpu.VMEM((C, 16, w2in), g_fine.dtype),
             pltpu.SemaphoreType.DMA,
         ],
+        interpret=pallas_cfg.interpret_mode(),
     )(Bv, Mh, cpad, fpad)
     return (contrast[:, :, :H, :W], lbkg[:, None, :H, :W])

@@ -137,6 +137,7 @@ def gausspyr_reduce_pallas(x: jnp.ndarray) -> jnp.ndarray:
     Av = jnp.asarray(_banded_vertical(TR, rows_copy))
     Mh = jnp.asarray(_banded_horizontal())
 
+    from fovvideovdp_tpu.ops import pallas as pallas_cfg
     out = pl.pallas_call(
         functools.partial(_reduce_kernel, H=H, W=W, TR=TR, Wo=Wo, Wo_pad=Wo_pad),
         grid=(N, n_tiles),
@@ -145,7 +146,7 @@ def gausspyr_reduce_pallas(x: jnp.ndarray) -> jnp.ndarray:
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * _CB + 4, _CB), lambda n, rt: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, TR, Wo_pad), lambda n, rt: (n, rt, 0),
                                memory_space=pltpu.VMEM),
@@ -154,5 +155,6 @@ def gausspyr_reduce_pallas(x: jnp.ndarray) -> jnp.ndarray:
             pltpu.VMEM((rows_copy, Wp), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
+        interpret=pallas_cfg.interpret_mode(),
     )(Av, Mh, xp)
     return out[:, :Ho, :Wo].reshape(lead + (Ho, Wo))

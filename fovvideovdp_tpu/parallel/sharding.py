@@ -2,18 +2,26 @@
 
 Sharding layout
 ---------------
-* 'data'  — the frame axis of a video block (embarrassingly parallel per
-  output frame after temporal filtering; the only cross-device dependency is
-  the filter_len-1 frame halo of the temporal convolution, which XLA lowers
-  to neighbour collective-permutes over ICI).
-* 'space' — the image row axis (for very large single frames); separable
-  5-tap pyramid convolutions need 2-row halos per level, again auto-lowered.
+The metric is embarrassingly parallel over output frames (after temporal
+filtering) and over independent test/reference pairs, so the primary scale-out
+axis shards *frames x pairs* over every device of the mesh.  The spatial core
+(pyramid, CSF, masking — including the Pallas kernels) runs inside
+``jax.shard_map``: each device executes the SAME single-chip program on its
+local block of frames, so ``pl.pallas_call`` never meets the GSPMD
+partitioner — the sharded path runs exactly the kernels the single-chip path
+runs.  The only cross-device communication is the temporal-filter resharding
+(XLA collective-permutes the filter_len-1 frame halo over ICI) and the tiny
+Q gathers.
 
-Both are expressed as NamedSharding constraints on a jit of the SAME pure
-core functions used single-chip — no separate distributed code path.
+For one very large single frame there is additionally a row-sharded image
+scorer ('space' axis): there the pyramid's 2-row convolution halos are left
+to XLA's SPMD partitioner (jit + NamedSharding over the jnp path — Pallas is
+explicitly disabled for that trace; custom kernels without sharding rules
+must not be partitioned blindly).
 """
 from __future__ import annotations
 
+import math
 from typing import Optional, Sequence
 
 import jax
@@ -41,51 +49,76 @@ def make_mesh(devices: Optional[Sequence] = None,
     return Mesh(dev_grid, ("data", "space"))
 
 
+def _mesh_size(mesh: Mesh) -> int:
+    return int(math.prod(mesh.devices.shape))
+
+
+def _frame_axes(mesh: Mesh):
+    """All mesh axes as one logical frame-parallel axis."""
+    return tuple(mesh.axis_names)
+
+
 def shard_video_block_fn(core, filt: np.ndarray, mesh: Mesh):
     """Sharded version of MetricCore.video_block_fn.
 
-    Inputs (padded_t, padded_r): (B + fl - 1, H, W) — frame axis over 'data',
-    rows over 'space'.  Q output is tiny and replicated; heatmaps stay
-    sharded like the input frames.
+    Inputs (padded_t, padded_r): (B + fl - 1, H, W) with B divisible by the
+    device count.  The temporal filtering runs under jit (XLA reshards the
+    fl-1 frame halos over ICI); the spatial core runs in shard_map with B/n
+    frames per device — Pallas kernels engage per shard exactly as on a
+    single chip.  Q output is gathered; heatmaps stay sharded on the frame
+    axis.
     """
     import jax.numpy as jnp
     from fovvideovdp_tpu.ops import temporal as temporal_ops
 
     F_filt = jnp.asarray(filt)
-    # The padded sequence length (B + fl - 1) rarely divides the device count,
-    # so inputs are sharded on rows only; the (B, 4, H, W) temporal responses
-    # are then constrained over ('data', 'space') and XLA reshards once.
-    seq_sharding = NamedSharding(mesh, P(None, "space", None))
-    r_sharding = NamedSharding(mesh, P("data", None, "space", None))
-    gaze_sharding = NamedSharding(mesh, P("data", None))
-    q_sharding = NamedSharding(mesh, P(None, None, "data"))
+    fl = filt.shape[1]
+    n_dev = _mesh_size(mesh)
+    axes = _frame_axes(mesh)
+
+    r_spec = P(axes, None, None, None)
+    gaze_spec = P(axes, None)
+    q_spec = P(None, None, axes)
+
+    in_specs = (r_spec,) + ((gaze_spec,) if core.foveated else ())
+    out_specs = (q_spec,) + ((r_spec,) if core.do_heatmap else ())
+
+    def score_shard(R, *maybe_gaze):
+        gaze = maybe_gaze[0] if core.foveated else None
+        Q, heat = core.score_frames(R, gaze, temp_ch=2)
+        return (Q,) + ((heat,) if core.do_heatmap else ())
+
+    sharded_score = jax.shard_map(score_shard, mesh=mesh, in_specs=in_specs,
+                                  out_specs=out_specs, check_vma=False)
 
     def fn(padded_t, padded_r, *maybe_gaze):
+        B = padded_t.shape[0] - fl + 1
+        if B % n_dev != 0:
+            raise ValueError(
+                f"block size {B} not divisible by {n_dev} devices; pass "
+                f"block_frames as a multiple of the device count")
         Rt = temporal_ops.apply_temporal_filters(padded_t, F_filt)
         Rr = temporal_ops.apply_temporal_filters(padded_r, F_filt)
         R = jnp.stack([Rt[:, 0], Rr[:, 0], Rt[:, 1], Rr[:, 1]], axis=1)
-        R = jax.lax.with_sharding_constraint(R, r_sharding)
-        gaze = maybe_gaze[0] if core.foveated else None
-        Q, heat = core.score_frames(R, gaze, temp_ch=2)
-        if heat is None:
-            return Q, None
+        R = jax.lax.with_sharding_constraint(R, NamedSharding(mesh, r_spec))
+        outs = sharded_score(R, *maybe_gaze)
+        Q = outs[0]
+        heat = outs[1] if core.do_heatmap else None
         return Q, heat
 
-    in_shardings = (seq_sharding, seq_sharding)
-    if core.foveated:
-        in_shardings = in_shardings + (gaze_sharding,)
-    heat_sharding = NamedSharding(mesh, P("data", None, "space", None))
-    out_shardings = (q_sharding, heat_sharding if core.do_heatmap else None)
-    return jax.jit(fn, in_shardings=in_shardings, out_shardings=out_shardings)
+    gaze_shard = (NamedSharding(mesh, gaze_spec),) if core.foveated else ()
+    seq_sharding = NamedSharding(mesh, P(None, "space", None))
+    return jax.jit(fn, in_shardings=(seq_sharding, seq_sharding) + gaze_shard)
 
 
 def make_batch_scorer(core, mesh: Mesh, pool_params: dict):
-    """Batch-of-image-pairs scorer sharded over the 'data' mesh axis.
+    """Batch-of-image-pairs scorer sharded over the whole mesh.
 
     The reference farms independent pairs out as one SLURM process per GPU
     (pyfvvdp/benchmark_cluster.sh); here a batch of pairs is one SPMD
-    program: inputs (N, H, W) luminance, N sharded over 'data', each pair
-    scored independently and pooled to its own JOD.
+    program: inputs (N, H, W) luminance with N divisible by the device
+    count; each device scores its local pairs with the single-chip spatial
+    core (Pallas engaged) and pools them to per-pair JODs.
 
     Returns a jitted fn (tests, refs) -> (N,) JOD scores.
     """
@@ -93,33 +126,114 @@ def make_batch_scorer(core, mesh: Mesh, pool_params: dict):
 
     from fovvideovdp_tpu.ops import masking as mask_ops
 
-    batch_sharding = NamedSharding(mesh, P("data", None, None))
-    out_sharding = NamedSharding(mesh, P("data"))
+    axes = _frame_axes(mesh)
+    n_dev = _mesh_size(mesh)
 
-    def score_one(T, Rf):
-        R = jnp.stack([T, Rf], axis=0)[None]
-        Q_per_ch, _ = core.score_frames(R, None, temp_ch=1)
+    def pool_one(Q_pair):  # (n_bands, 2) -> scalar JOD
         return mask_ops.pool_to_jod(
-            Q_per_ch, pool_params["w_transient"], pool_params["beta_sch"],
+            Q_pair[..., None], pool_params["w_transient"],
+            pool_params["beta_sch"], pool_params["beta_tch"],
+            pool_params["beta_t"], pool_params["jod_a"],
+            pool_params["log_jod_exp"])
+
+    def score_shard(tests, refs):  # (n_loc, H, W) each
+        R = jnp.stack([tests, refs], axis=1)          # (n_loc, 2, H, W)
+        Q, _ = core.score_frames(R, None, temp_ch=1)  # (n_bands, 2, n_loc)
+        return jax.vmap(pool_one, in_axes=2)(Q)       # (n_loc,)
+
+    sharded = jax.shard_map(score_shard, mesh=mesh,
+                            in_specs=(P(axes, None, None),) * 2,
+                            out_specs=P(axes), check_vma=False)
+
+    def fn(tests, refs):
+        if tests.shape[0] % n_dev != 0:
+            raise ValueError(f"batch {tests.shape[0]} not divisible by "
+                             f"{n_dev} devices; pad the batch")
+        return sharded(tests, refs)
+
+    batch_sharding = NamedSharding(mesh, P(axes, None, None))
+    return jax.jit(fn, in_shardings=(batch_sharding, batch_sharding))
+
+
+def make_batch_video_scorer(core, filt: np.ndarray, mesh: Mesh,
+                            pool_params: dict):
+    """Batch-of-video-pairs scorer: N independent clips in one SPMD program.
+
+    Inputs (padded_tests, padded_refs): (N, B + fl - 1, H, W) luminance with
+    N divisible by the device count (B output frames per clip).  Each device
+    temporally filters and scores its local clips through the single-chip
+    spatial core — clips never talk to each other, so the program has zero
+    cross-device communication beyond the final JOD gather.  This retires
+    the reference's SLURM job farming (one process per GPU) with one
+    program over the mesh.
+
+    Returns a jitted fn -> ((N,) JODs, Q_per_ch (n_bands, 2, N, B)).
+    """
+    import jax.numpy as jnp
+
+    from fovvideovdp_tpu.ops import masking as mask_ops
+    from fovvideovdp_tpu.ops import temporal as temporal_ops
+
+    F_filt = jnp.asarray(filt)
+    fl = filt.shape[1]
+    axes = _frame_axes(mesh)
+    n_dev = _mesh_size(mesh)
+
+    def pool_one(Q_clip):  # (n_bands, 2, B) -> scalar JOD
+        return mask_ops.pool_to_jod(
+            Q_clip, pool_params["w_transient"], pool_params["beta_sch"],
             pool_params["beta_tch"], pool_params["beta_t"],
             pool_params["jod_a"], pool_params["log_jod_exp"])
 
-    def fn(tests, refs):
-        return jax.vmap(score_one)(tests, refs)
+    def score_shard(pt, pr):  # (n_loc, B + fl - 1, H, W)
+        n_loc = pt.shape[0]
+        B = pt.shape[1] - fl + 1
+        Rt = jax.vmap(lambda x: temporal_ops.apply_temporal_filters(x, F_filt))(pt)
+        Rr = jax.vmap(lambda x: temporal_ops.apply_temporal_filters(x, F_filt))(pr)
+        # order: T-sust, R-sust, T-trans, R-trans (fvvdp.py:293)
+        R = jnp.stack([Rt[:, :, 0], Rr[:, :, 0], Rt[:, :, 1], Rr[:, :, 1]],
+                      axis=2)                          # (n_loc, B, 4, H, W)
+        R = R.reshape((n_loc * B,) + R.shape[2:])
+        Q, _ = core.score_frames(R, None, temp_ch=2)   # (n_bands, 2, n_loc*B)
+        Q = Q.reshape(Q.shape[0], 2, n_loc, B)
+        jods = jax.vmap(pool_one, in_axes=2)(Q)        # (n_loc,)
+        return jods, Q
 
-    return jax.jit(fn, in_shardings=(batch_sharding, batch_sharding),
-                   out_shardings=out_sharding)
+    sharded = jax.shard_map(score_shard, mesh=mesh,
+                            in_specs=(P(axes, None, None, None),) * 2,
+                            out_specs=(P(axes), P(None, None, axes, None)),
+                            check_vma=False)
+
+    def fn(padded_tests, padded_refs):
+        if padded_tests.shape[0] % n_dev != 0:
+            raise ValueError(f"batch {padded_tests.shape[0]} not divisible "
+                             f"by {n_dev} devices; pad the batch")
+        return sharded(padded_tests, padded_refs)
+
+    batch_sharding = NamedSharding(mesh, P(axes, None, None, None))
+    return jax.jit(fn, in_shardings=(batch_sharding, batch_sharding))
 
 
 def shard_image_fn(core, mesh: Mesh):
     """Sharded single-image scorer: rows over 'space' (a lone image has no
-    frame axis to shard)."""
+    frame axis to shard).
+
+    Row sharding cuts *through* the pyramid's convolutions, so this path
+    deliberately traces the jnp spatial core and leaves halo exchange to
+    XLA's SPMD partitioner; the Pallas kernels (whose pallas_call has no
+    partitioning rule) are force-disabled for this trace.  For throughput
+    scaling prefer make_batch_scorer — frame/pair parallelism keeps the
+    kernels engaged.
+    """
     import jax.numpy as jnp
+
+    from fovvideovdp_tpu.ops import pallas as pallas_cfg
 
     img_sharding = NamedSharding(mesh, P("space", None))
 
     def fn(T, Rf):
-        R = jnp.stack([T, Rf], axis=0)[None]
-        return core.score_frames(R, None, temp_ch=1)
+        with pallas_cfg.forced(False):
+            R = jnp.stack([T, Rf], axis=0)[None]
+            return core.score_frames(R, None, temp_ch=1)
 
     return jax.jit(fn, in_shardings=(img_sharding, img_sharding))

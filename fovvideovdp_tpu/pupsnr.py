@@ -27,6 +27,14 @@ class pu_psnr:
 
         self._frame_psnr = frame_psnr
 
+        @jax.jit
+        def block_psnr(T, R):
+            # (n, H, W) luminance blocks -> (n,) per-frame PU21-PSNR
+            mse = jnp.mean((pu.encode(T) - pu.encode(R)) ** 2, axis=(-2, -1))
+            return 20.0 * jnp.log10(pu.peak / jnp.sqrt(mse))
+
+        self._block_psnr = block_psnr
+
     def predict(self, test_cont, reference_cont, dim_order="BCFHW",
                 frames_per_second=0, fixation_point=None,
                 frame_padding="replicate"):
@@ -40,12 +48,21 @@ class pu_psnr:
     def predict_video_source(self, vid_source, fixation_point=None,
                              frame_padding="replicate"):
         _, _, N_frames = vid_source.get_video_size()
-        psnr = 0.0
-        for ff in range(N_frames):
-            T = vid_source.get_test_frame(ff)
-            R = vid_source.get_reference_frame(ff)
-            psnr = psnr + float(self._frame_psnr(T, R)) / N_frames
-        return psnr, None
+        # Blocked access path: frames stream through one jitted program per
+        # block with a single host sync per block (not per frame); short tail
+        # blocks are padded to the compiled block shape and sliced after.
+        B = min(16, N_frames)
+        frame_psnrs = np.zeros((N_frames,), dtype=np.float64)
+        pos = 0
+        while pos < N_frames:
+            b = min(B, N_frames - pos)
+            T, R = vid_source.get_luminance_block(pos, b)
+            if b < B:
+                T = jnp.concatenate([T, jnp.repeat(T[-1:], B - b, axis=0)])
+                R = jnp.concatenate([R, jnp.repeat(R[-1:], B - b, axis=0)])
+            frame_psnrs[pos:pos + b] = np.asarray(self._block_psnr(T, R))[:b]
+            pos += b
+        return float(frame_psnrs.mean()), None
 
     def short_name(self):
         return "PU21-PSNR"

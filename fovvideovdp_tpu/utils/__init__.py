@@ -133,11 +133,14 @@ def gaussian_kernel_2d(sigma: float) -> np.ndarray:
 
 
 class ImGaussFilt:
-    """Gaussian blur with reflect padding, matching pyfvvdp/utils.py:100-126."""
+    """Gaussian blur matching pyfvvdp/utils.py:100-126 (reflect padding by
+    default; pass pad_mode="edge" for MATLAB imgaussfilt's replicate
+    padding)."""
 
-    def __init__(self, sigma: float):
+    def __init__(self, sigma: float, pad_mode: str = "reflect"):
         self.K = jnp.asarray(gaussian_kernel_2d(sigma))
         self.half = (self.K.shape[0] - 1) // 2
+        self.pad_mode = pad_mode
 
     def run(self, img):
         import jax.lax as lax
@@ -145,7 +148,7 @@ class ImGaussFilt:
         squeeze = img.ndim == 2
         x = img[None, None] if squeeze else img
         h = self.half
-        x = jnp.pad(x, ((0, 0), (0, 0), (h, h), (h, h)), mode="reflect")
+        x = jnp.pad(x, ((0, 0), (0, 0), (h, h), (h, h)), mode=self.pad_mode)
         y = lax.conv_general_dilated(
             x.astype(jnp.float32), self.K[None, None],
             window_strides=(1, 1), padding="VALID",

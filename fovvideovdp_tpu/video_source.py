@@ -234,6 +234,15 @@ class fvvdp_video_source_array(fvvdp_video_source_dm):
         reference_video = reshuffle_dims(reference_video, dim_order, "BCFHW")
 
         B, C, F, H, W = test_video.shape
+        if B != 1:
+            # The reference silently scores only batch item 0
+            # (pyfvvdp/fvvdp.py:260 "TODO: proper handling of batches");
+            # here a batch is a first-class feature with its own SPMD entry
+            # point instead of a silent truncation.
+            raise RuntimeError(
+                f"fvvdp_video_source_array expects batch size 1, got B={B}; "
+                "score batches of pairs with fvvdp.predict_batch (sharded "
+                "over the device mesh) or loop over batch items")
         if fps == 0 and F > 1:
             raise RuntimeError(
                 "When passing video sequences, you must set 'frames_per_second' parameter")

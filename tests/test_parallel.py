@@ -57,6 +57,70 @@ def test_graft_entry_dryrun():
     ge.dryrun_multichip(8)
 
 
+def test_sharded_video_pallas_interpret_matches_single_device():
+    """The sharded scorer must run the SAME Pallas kernels per shard that a
+    single chip runs; interpret mode emulates them on the CPU mesh."""
+    from fovvideovdp_tpu.ops import pallas as pallas_cfg
+
+    fps, B, H, W = 30.0, 8, 64, 128
+    fl = temporal_ops.filter_len_for_fps(fps)
+    filt = temporal_ops.temporal_filters(fps, fl)
+    rng = np.random.RandomState(2)
+    pt = jnp.asarray(rng.rand(B + fl - 1, H, W).astype(np.float32) * 100 + 0.1)
+    pr = pt * 1.03 + 0.2
+
+    core = _make_core(W, H)
+    Q_ref, _ = core.video_block_fn(filt)(pt, pr)
+
+    mesh = make_mesh(_cpu_devices(8), data_parallel=4)
+    with pallas_cfg.forced(True, interpret=True):
+        core_p = _make_core(W, H)
+        Q_p, _ = shard_video_block_fn(core_p, filt, mesh)(pt, pr)
+    np.testing.assert_allclose(np.asarray(Q_p), np.asarray(Q_ref),
+                               rtol=5e-5, atol=1e-6)
+
+
+def test_batch_video_scorer_matches_per_clip():
+    from fovvideovdp_tpu.ops import masking as mask_ops
+    from fovvideovdp_tpu.parallel import make_batch_video_scorer
+    from fovvideovdp_tpu.utils import config_files, json2dict
+
+    params = json2dict(config_files.find("fvvdp_parameters.json"))
+    core = _make_core()
+    fps, B = 30.0, 4
+    fl = temporal_ops.filter_len_for_fps(fps)
+    filt = temporal_ops.temporal_filters(fps, fl)
+    rng = np.random.RandomState(4)
+    N = 8
+    pts = jnp.asarray(rng.rand(N, B + fl - 1, 48, 64).astype(np.float32) * 100 + 0.1)
+    prs = pts * 1.01 + 0.2
+
+    mesh = make_mesh(_cpu_devices(8), data_parallel=8)
+    jods, Q_pc = make_batch_video_scorer(core, filt, mesh, params)(pts, prs)
+    jods = np.asarray(jods)
+    assert jods.shape == (N,) and np.asarray(Q_pc).shape[2:] == (N, B)
+
+    fn_single = core.video_block_fn(filt)
+    for i in [0, 5]:
+        Q_c, _ = fn_single(pts[i], prs[i])
+        j = float(mask_ops.pool_to_jod(
+            Q_c, params["w_transient"], params["beta_sch"], params["beta_tch"],
+            params["beta_t"], params["jod_a"], params["log_jod_exp"]))
+        np.testing.assert_allclose(jods[i], j, rtol=1e-5, atol=1e-5)
+
+
+def test_video_block_not_divisible_raises():
+    core = _make_core()
+    fps = 30.0
+    fl = temporal_ops.filter_len_for_fps(fps)
+    filt = temporal_ops.temporal_filters(fps, fl)
+    mesh = make_mesh(_cpu_devices(8), data_parallel=4)
+    rng = np.random.RandomState(0)
+    pt = jnp.asarray(rng.rand(3 + fl - 1, 48, 64).astype(np.float32) + 0.1)
+    with pytest.raises(ValueError, match="not divisible"):
+        shard_video_block_fn(core, filt, mesh)(pt, pt)
+
+
 def test_batch_scorer_sharded_over_pairs():
     """A batch of independent image pairs sharded over the 'data' axis must
     reproduce per-pair single-device JODs."""
@@ -86,3 +150,30 @@ def test_batch_scorer_sharded_over_pairs():
             Qc, params["w_transient"], params["beta_sch"], params["beta_tch"],
             params["beta_t"], params["jod_a"], params["log_jod_exp"]))
         np.testing.assert_allclose(Q[i], Qi, rtol=1e-5, atol=1e-5)
+
+
+def test_predict_batch_matches_predict():
+    """predict_batch over the CPU mesh must equal per-pair predict."""
+    from fovvideovdp_tpu import fvvdp
+
+    rng = np.random.RandomState(9)
+    N, F, H, W = 3, 4, 32, 48
+    ref = (rng.rand(N, H, W, 3, F) * 255).astype(np.uint8)
+    tst = np.clip(ref.astype(np.int16) + rng.randint(-20, 20, ref.shape),
+                  0, 255).astype(np.uint8)
+
+    fv = fvvdp(display_name="standard_fhd")
+    jods, stats = fv.predict_batch(tst, ref, dim_order="BHWCF",
+                                   frames_per_second=30)
+    assert jods.shape == (N,) and stats["Q_per_ch"].shape[2] == N
+
+    for i in range(N):
+        Qi, _ = fv.predict(tst[i], ref[i], dim_order="HWCF",
+                           frames_per_second=30)
+        np.testing.assert_allclose(jods[i], Qi, rtol=1e-5, atol=1e-4)
+
+    # image batch path
+    jods_img, _ = fv.predict_batch(tst[..., 0], ref[..., 0], dim_order="BHWC")
+    for i in range(N):
+        Qi, _ = fv.predict(tst[i, ..., 0], ref[i, ..., 0], dim_order="HWC")
+        np.testing.assert_allclose(jods_img[i], Qi, rtol=1e-5, atol=1e-4)
