@@ -52,13 +52,26 @@ def main():
         best = dt if best is None else min(best, dt)
     fps_throughput = n_frames / best
 
-    # ancillary: per-image-pair latency at 4K (after compile warm-up)
-    img_t = test_v[..., 0]
-    img_r = ref_v[..., 0]
-    fv.predict(img_t, img_r, dim_order="HWC")
+    # ancillary: per-image-pair latency at 4K, two honest numbers
+    # (methodology shared with tools/benchmark_grid.py):
+    # * device-resident: the source lives in HBM, timing covers scoring only
+    #   (the reference's own methodology, pyfvvdp/fvvdp.py:726-735)
+    # * cold end-to-end: includes source construction + host->device transfer
+    #   (transport-bound: ~40 MB/s through this environment's TPU tunnel)
+    img_t = test_v[..., :1]
+    img_r = ref_v[..., :1]
+    vs_img = fvvdp_video_source_array(img_t, img_r, 0, dim_order="HWCF",
+                                      display_photometry=fv.display_photometry)
+    fv.predict_video_source(vs_img)  # warm-up: compile + upload
+    img_ms = None
+    for _ in range(3):
+        t0 = time.time()
+        fv.predict_video_source(vs_img)
+        dt = (time.time() - t0) * 1000
+        img_ms = dt if img_ms is None else min(img_ms, dt)
     t0 = time.time()
-    fv.predict(img_t, img_r, dim_order="HWC")
-    img_ms = (time.time() - t0) * 1000
+    fv.predict(img_t, img_r, dim_order="HWCF")
+    img_cold_ms = (time.time() - t0) * 1000
 
     print(json.dumps({
         "metric": "4k_video_fps_per_chip",
@@ -67,8 +80,10 @@ def main():
         "vs_baseline": round(fps_throughput / 30.0, 3),
     }))
     print(f"# first-call (compile+upload) {compile_s:.1f}s | 60-frame 4K video "
-          f"{best:.2f}s ({fps_throughput:.1f} fps) | 4K image pair {img_ms:.0f} ms "
-          f"| Q={Q:.3f} | device {jax.devices()[0].device_kind}", file=sys.stderr)
+          f"{best:.2f}s ({fps_throughput:.1f} fps) | 4K image pair "
+          f"{img_ms:.0f} ms device-resident / {img_cold_ms:.0f} ms cold incl. "
+          f"transfer | Q={Q:.3f} | device {jax.devices()[0].device_kind}",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -1,33 +1,41 @@
-"""Shared helpers for the example scripts: add noise / blur to test content."""
+"""Shared helpers for the example scripts: synthesize distorted test content.
+
+The distortion protocols (noise variance, blur sigma) follow the published
+example configuration (reference README.md:137-138) so the printed JODs are
+comparable; the implementations are vectorized numpy.
+"""
 import numpy as np
 from scipy.ndimage import gaussian_filter
 
 
 def imnoise(clean, std, static=False, peak=None):
-    """Add zero-mean Gaussian noise (std in normalized units)."""
-    dtype = clean.dtype
+    """Zero-mean Gaussian noise in normalized units.
+
+    ``static=True`` draws one (H, W, C) noise field and reuses it for every
+    frame (frame axis last); otherwise the noise is i.i.d. per frame.
+    """
     if peak is None:
-        peak = 1 if dtype.kind == "f" else np.iinfo(dtype).max
-    if static:
-        h, w, c, N = clean.shape  # frame axis last
-        noise = np.repeat(np.random.randn(h, w, c, 1) * std, N, axis=-1)
-    else:
-        noise = np.random.randn(*clean.shape) * std
-    noisy = clean.astype(np.float32) / peak + noise
-    return (noisy.clip(0, 1) * peak).astype(dtype)
+        peak = 1.0 if clean.dtype.kind == "f" else float(np.iinfo(clean.dtype).max)
+    noise_shape = clean.shape[:-1] + (1,) if static else clean.shape
+    noise = np.random.standard_normal(noise_shape).astype(np.float32) * std
+    noisy = clean.astype(np.float32) / peak + noise  # broadcasts static noise
+    return (np.clip(noisy, 0.0, 1.0) * peak).astype(clean.dtype)
 
 
 def imgaussblur(clean, sigmas):
-    """Blur image(s) with a 2-D Gaussian (per frame, per colour channel)."""
-    squeeze = clean.ndim == 3
-    if squeeze:
-        clean = clean[..., np.newaxis]
+    """2-D Gaussian blur of (H, W, C) or (H, W, C, F) content.
+
+    ``sigmas`` is a scalar (same blur everywhere) or a per-frame sequence;
+    only the spatial axes are filtered.
+    """
+    x = clean[..., np.newaxis] if clean.ndim == 3 else clean
+    xf = x.astype(np.float32)
     if np.isscalar(sigmas):
-        sigmas = np.repeat(sigmas, clean.shape[-1])
-    blur = np.zeros_like(clean)
-    for ff, sigma in enumerate(sigmas):
-        for cc in range(clean.shape[2]):
-            blur[:, :, cc, ff] = gaussian_filter(
-                clean[:, :, cc, ff].astype(np.float32), sigma,
-                mode="nearest", truncate=2.0).astype(clean.dtype)
-    return blur[..., 0] if squeeze else blur
+        out = gaussian_filter(xf, sigma=(sigmas, sigmas, 0, 0),
+                              mode="nearest", truncate=2.0)
+    else:
+        out = np.stack([gaussian_filter(xf[..., ff], sigma=(s, s, 0),
+                                        mode="nearest", truncate=2.0)
+                        for ff, s in enumerate(sigmas)], axis=-1)
+    out = out.astype(clean.dtype)
+    return out[..., 0] if clean.ndim == 3 else out

@@ -51,10 +51,24 @@ def _ffprobe(vidfile: str) -> dict:
         raise RuntimeError("ffprobe not found — cannot inspect video files.")
     out = subprocess.run(
         [probe_bin, "-v", "quiet", "-print_format", "json", "-show_streams",
-         vidfile], capture_output=True)
+         "-show_format", vidfile], capture_output=True)
     if out.returncode != 0:
         raise RuntimeError(f'ffmpeg failed to open file "{vidfile}"')
     return json.loads(out.stdout)
+
+
+def _stream_frame_count(stream: dict, probe: dict, fps: float) -> int:
+    """Frame count with fallbacks — many containers lack nb_frames (the
+    reference raises KeyError there, pyfvvdp/video_source_file.py:75)."""
+    if "nb_frames" in stream:
+        return int(stream["nb_frames"])
+    for src in (stream, probe.get("format", {})):
+        dur = src.get("duration")
+        if dur is not None:
+            return int(round(float(dur) * fps))
+    raise RuntimeError(
+        "Cannot determine the video frame count (no nb_frames/duration "
+        "metadata); pass frames=N explicitly.")
 
 
 class video_reader:
@@ -72,9 +86,12 @@ class video_reader:
         self.color_space = stream.get("color_space", "unknown")
         self.color_transfer = stream.get("color_transfer", "unknown")
         self.in_pix_fmt = stream["pix_fmt"]
-        num_frames = int(stream["nb_frames"])
         num, den = (float(x) for x in stream["r_frame_rate"].split("/"))
         self.avg_fps = num / den
+        if frames != -1 and "nb_frames" not in stream:
+            num_frames = frames  # caller-specified count, metadata optional
+        else:
+            num_frames = _stream_frame_count(stream, probe, self.avg_fps)
         self.frames = num_frames if frames == -1 else min(num_frames, frames)
 
         self._setup_ffmpeg(vidfile, resize_fn, resize_height, resize_width, verbose)
@@ -111,10 +128,34 @@ class video_reader:
         self.curr_frame += 1
         return np.frombuffer(in_bytes, self.dtype)
 
+    def get_frames_block(self, count: int) -> Optional[np.ndarray]:
+        """Read up to ``count`` frames from the pipe in one go.
+
+        Returns (n, frame_elems) raw values (n <= count; None at EOF).  One
+        bulk read amortises the pipe syscalls, and the caller makes ONE
+        host->device transfer per block instead of one per frame (through a
+        slow transport the per-frame transfers serialise against compute).
+        """
+        want = min(count, self.frames - 1 - self.curr_frame)
+        if want <= 0:
+            return None
+        buf = self.process.stdout.read(want * self.frame_bytes)
+        n = len(buf) // self.frame_bytes
+        if n == 0:
+            return None
+        self.curr_frame += n
+        return np.frombuffer(buf[:n * self.frame_bytes],
+                             self.dtype).reshape(n, -1)
+
     def unpack(self, frame_np: np.ndarray) -> jnp.ndarray:
         """Raw bytes -> (H, W, 3) display-encoded RGB in [0,1] on device."""
+        return self.unpack_block(frame_np.reshape(1, -1))[0]
+
+    def unpack_block(self, frames_np: np.ndarray) -> jnp.ndarray:
+        """(n, frame_elems) raw values -> (n, H, W, 3) RGB in [0,1] on device
+        (one transfer for the whole block)."""
         max_value = 255.0 if self.dtype == np.uint8 else 65535.0
-        x = jnp.asarray(frame_np.reshape(self.height, self.width, 3))
+        x = jnp.asarray(frames_np.reshape(-1, self.height, self.width, 3))
         return x.astype(jnp.float32) / max_value
 
     def close(self):
@@ -183,18 +224,29 @@ class video_reader_yuv_device(video_reader):
                      "-f", "rawvideo", "-pix_fmt", out_pix_fmt, "pipe:"])
 
     def unpack(self, x: np.ndarray) -> jnp.ndarray:
-        Y = x[:self.y_pixels].reshape(self.y_shape)
-        u = x[self.y_pixels:self.y_pixels + self.uv_pixels].reshape(self.uv_shape)
-        v = x[self.y_pixels + self.uv_pixels:].reshape(self.uv_shape)
-        RGB = yuv_io.yuv_to_rgb(jnp.asarray(Y), jnp.asarray(u), jnp.asarray(v),
-                                self.bit_depth, self.chroma_ss,
-                                bt2020=(self.color_space == "bt2020nc"))
+        return self.unpack_block(x.reshape(1, -1))[0]
+
+    def unpack_block(self, x: np.ndarray) -> jnp.ndarray:
+        """(n, frame_elems) planar YUV -> (n, H, W, 3) RGB on device; chroma
+        upsampling + colour conversion (+ optional full-screen resize) run
+        batched on device after ONE transfer per block."""
+        n = x.shape[0]
+        Y = jnp.asarray(x[:, :self.y_pixels]).reshape((n,) + self.y_shape)
+        u = jnp.asarray(x[:, self.y_pixels:self.y_pixels + self.uv_pixels]
+                        ).reshape((n,) + self.uv_shape)
+        v = jnp.asarray(x[:, self.y_pixels + self.uv_pixels:]
+                        ).reshape((n,) + self.uv_shape)
+        to_rgb = lambda yy, uu, vv: yuv_io.yuv_to_rgb(  # noqa: E731
+            yy, uu, vv, self.bit_depth, self.chroma_ss,
+            bt2020=(self.color_space == "bt2020nc"))
+        RGB = jax.vmap(to_rgb)(Y, u, v)  # (n, H, W, 3)
         if getattr(self, "resize_fn", None) is not None and \
                 (self.height != self.resize_height or self.width != self.resize_width):
             method = {"nearest": "nearest", "bilinear": "bilinear",
                       "bicubic": "cubic", "area": "linear"}[self.resize_fn]
-            RGB = jax.image.resize(RGB, (self.resize_height, self.resize_width, 3),
-                                   method=method)
+            RGB = jax.image.resize(
+                RGB, (n, self.resize_height, self.resize_width, 3),
+                method=method)
         return jnp.clip(RGB, 0.0, 1.0)
 
 
@@ -244,6 +296,9 @@ class fvvdp_video_source_video_file(fvvdp_video_source_dm):
         L = self._luminance_fn()(frame)
         return L  # (1, H, W)
 
+    def _rgb_block_to_luminance(self, RGB_nhwc: jnp.ndarray) -> jnp.ndarray:
+        return self._luminance_fn()(RGB_nhwc.transpose(0, 3, 1, 2))  # (n, H, W)
+
     def _next_frame(self, vid_reader, frame):
         if frame != vid_reader.curr_frame + 1:
             raise RuntimeError(
@@ -254,6 +309,19 @@ class fvvdp_video_source_video_file(fvvdp_video_source_dm):
             raise RuntimeError(f"Could not read frame {frame}")
         return self._rgb_to_luminance(vid_reader.unpack(frame_np))
 
+    def _next_block(self, vid_reader, start, count):
+        if start != vid_reader.curr_frame + 1:
+            raise RuntimeError(
+                "Video can be currently only read frame-by-frame. "
+                "Random access not implemented (use preload).")
+        block_np = vid_reader.get_frames_block(count)
+        if block_np is None or block_np.shape[0] < count:
+            got = 0 if block_np is None else block_np.shape[0]
+            raise RuntimeError(
+                f"Could not read frames {start}..{start + count - 1} "
+                f"(got {got})")
+        return self._rgb_block_to_luminance(vid_reader.unpack_block(block_np))
+
     def get_test_frame(self, frame, device=None):
         return self._next_frame(self.test_vidr, frame)[None, None]
 
@@ -261,13 +329,36 @@ class fvvdp_video_source_video_file(fvvdp_video_source_dm):
         return self._next_frame(self.reference_vidr, frame)[None, None]
 
     def get_luminance_block(self, start, count):
-        t = jnp.concatenate(
-            [self._next_frame(self.test_vidr, start + i) for i in range(count)])
-        r = jnp.concatenate(
-            [self._next_frame(self.reference_vidr, start + i) for i in range(count)])
+        cached = getattr(self, "_cached_frame0", None)
+        if start == 0 and cached is not None:
+            # frame 0 was already pulled off the stream for the replicate
+            # warm-up; splice the cached copy in front of the live stream
+            t0, r0 = cached
+            self._cached_frame0 = None
+            if count == 1:
+                return t0, r0
+            t = self._next_block(self.test_vidr, 1, count - 1)
+            r = self._next_block(self.reference_vidr, 1, count - 1)
+            return jnp.concatenate([t0, t]), jnp.concatenate([r0, r])
+        t = self._next_block(self.test_vidr, start, count)
+        r = self._next_block(self.reference_vidr, start, count)
         return t, r
 
     def get_indexed_luminance_block(self, indices):
+        idx = [int(i) for i in indices]
+        if not idx:
+            H, W, _ = self.get_video_size()
+            empty = jnp.zeros((0, H, W), dtype=jnp.float32)
+            return empty, empty
+        if set(idx) == {0} and self.test_vidr.curr_frame == -1:
+            # 'replicate' temporal warm-up: fl-1 copies of the first frame.
+            # Read it once, serve the copies, and keep it for the first
+            # streaming block (which starts at frame 0 again).
+            t0 = self._next_block(self.test_vidr, 0, 1)
+            r0 = self._next_block(self.reference_vidr, 0, 1)
+            self._cached_frame0 = (t0, r0)
+            n = len(idx)
+            return jnp.repeat(t0, n, axis=0), jnp.repeat(r0, n, axis=0)
         raise RuntimeError(
             "circular/pingpong temporal padding requires random access — "
             "use preload=True (fvvdp_video_source_video_file_preload)")
@@ -301,21 +392,30 @@ class fvvdp_video_source_video_file_preload(fvvdp_video_source_video_file):
         self._ensure_loaded()
         return self._frame_lum(self.reference_vidr, self.frame_array_ref, frame)[None, None]
 
+    def _block_lum(self, vid_reader, arr, indices):
+        raws = []
+        for i in indices:
+            if arr[i] is None:
+                raise RuntimeError(f"Could not read frame {i}")
+            raws.append(arr[i])
+        block_np = np.stack(raws).reshape(len(raws), -1)
+        return self._rgb_block_to_luminance(vid_reader.unpack_block(block_np))
+
     def get_luminance_block(self, start, count):
         self._ensure_loaded()
-        t = jnp.concatenate([self._frame_lum(self.test_vidr, self.frame_array_tst,
-                                             start + i) for i in range(count)])
-        r = jnp.concatenate([self._frame_lum(self.reference_vidr, self.frame_array_ref,
-                                             start + i) for i in range(count)])
-        return t, r
+        idx = range(start, start + count)
+        return (self._block_lum(self.test_vidr, self.frame_array_tst, idx),
+                self._block_lum(self.reference_vidr, self.frame_array_ref, idx))
 
     def get_indexed_luminance_block(self, indices):
         self._ensure_loaded()
-        t = jnp.concatenate([self._frame_lum(self.test_vidr, self.frame_array_tst,
-                                             int(i)) for i in indices])
-        r = jnp.concatenate([self._frame_lum(self.reference_vidr, self.frame_array_ref,
-                                             int(i)) for i in indices])
-        return t, r
+        idx = [int(i) for i in indices]
+        if not idx:
+            H, W, _ = self.get_video_size()
+            empty = jnp.zeros((0, H, W), dtype=jnp.float32)
+            return empty, empty
+        return (self._block_lum(self.test_vidr, self.frame_array_tst, idx),
+                self._block_lum(self.reference_vidr, self.frame_array_ref, idx))
 
 
 class fvvdp_video_source_file(fvvdp_video_source):

@@ -1,29 +1,59 @@
-"""Test configuration: pin tests to the host CPU backend (8 virtual devices)
-so unit tests don't round-trip through the TPU tunnel and multi-chip sharding
-logic is exercised without TPU hardware.
+"""Test configuration.
+
+Default: pin tests to the host CPU backend (8 virtual devices) so unit tests
+don't round-trip through the TPU tunnel and multi-chip sharding logic is
+exercised without TPU hardware.
+
+On-hardware mode: ``pytest -m tpu`` (or FVVDP_TEST_TPU=1) skips the CPU pin
+and runs the tests marked ``tpu`` — end-to-end JOD parity on the real chip
+with the Pallas kernels engaged (see test_tpu_e2e.py).
 
 Note: the environment force-registers the TPU ('axon') backend regardless of
 JAX_PLATFORMS, so we pin the default device to CPU explicitly.
 """
 import os
+import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+
+def _tpu_mode() -> bool:
+    if os.environ.get("FVVDP_TEST_TPU") == "1":
+        return True
+    argv = sys.argv
+    for i, a in enumerate(argv):
+        if a == "-m" and i + 1 < len(argv) and "tpu" in argv[i + 1]:
+            return True
+        if a.startswith("-m") and "tpu" in a[2:]:
+            return True
+    return False
+
+
+TPU_MODE = _tpu_mode()
+
+if not TPU_MODE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
-try:
-    jax.config.update("jax_default_device", jax.devices("cpu")[0])
-except Exception:
-    pass
+if not TPU_MODE:
+    try:
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+    except Exception:
+        pass
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "tpu: end-to-end parity tests that need real TPU hardware "
+        "(run with `pytest -m tpu`)")
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,162 @@
+"""End-to-end coverage of the ffmpeg video-file source WITHOUT an ffmpeg
+binary: stub ffmpeg/ffprobe executables on PATH feed deterministic raw
+yuv420p bytes through the real subprocess + pipe + blocked-transfer +
+on-device conversion machinery (the reference path these mirror is
+pyfvvdp/video_source_file.py:57-276)."""
+import json
+import os
+import stat
+import subprocess
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+H, W, F, FPS = 48, 64, 6, 30.0
+
+
+def _write_exe(path, body):
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(f"#!{sys.executable}\n{body}")
+    os.chmod(path, os.stat(path).st_mode | stat.S_IEXEC)
+
+
+@pytest.fixture()
+def fake_ffmpeg(tmp_path, monkeypatch):
+    """ffprobe prints the sidecar <file>.probe.json; ffmpeg streams the raw
+    file bytes to stdout (our 'videos' are stored as raw yuv420p planes)."""
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    _write_exe(bindir / "ffprobe", (
+        "import sys\n"
+        "print(open(sys.argv[-1] + '.probe.json').read())\n"))
+    _write_exe(bindir / "ffmpeg", (
+        "import sys\n"
+        "path = sys.argv[sys.argv.index('-i') + 1]\n"
+        "sys.stdout.buffer.write(open(path, 'rb').read())\n"))
+    monkeypatch.setenv("PATH", f"{bindir}{os.pathsep}{os.environ['PATH']}")
+    return tmp_path
+
+
+def _make_video(tmp_path, name, seed, gray=False, probe_overrides=None):
+    """Write F frames of yuv420p bytes + the ffprobe sidecar; returns path."""
+    rng = np.random.RandomState(seed)
+    frames = []
+    planes = []
+    for _ in range(F):
+        Y = rng.randint(16, 236, (H, W), dtype=np.uint8)
+        if gray:
+            u = np.full((H // 2, W // 2), 128, dtype=np.uint8)
+            v = np.full((H // 2, W // 2), 128, dtype=np.uint8)
+        else:
+            u = rng.randint(16, 241, (H // 2, W // 2), dtype=np.uint8)
+            v = rng.randint(16, 241, (H // 2, W // 2), dtype=np.uint8)
+        frames.append((Y, u, v))
+        planes += [Y.tobytes(), u.tobytes(), v.tobytes()]
+    path = tmp_path / f"{name}.mp4"
+    path.write_bytes(b"".join(planes))
+    probe = {"streams": [{"codec_type": "video", "width": W, "height": H,
+                          "pix_fmt": "yuv420p", "nb_frames": str(F),
+                          "r_frame_rate": "30/1"}]}
+    if probe_overrides:
+        probe["streams"][0].update(probe_overrides)
+        for k, val in list(probe["streams"][0].items()):
+            if val is None:
+                del probe["streams"][0][k]
+    (tmp_path / f"{name}.mp4.probe.json").write_text(json.dumps(probe))
+    return str(path), frames
+
+
+def test_streaming_matches_preload_and_scores(fake_ffmpeg):
+    from fovvideovdp_tpu import fvvdp
+    from fovvideovdp_tpu.video_source_file import fvvdp_video_source_file
+
+    tst, _ = _make_video(fake_ffmpeg, "tst", seed=0)
+    ref, _ = _make_video(fake_ffmpeg, "ref", seed=1)
+
+    fv = fvvdp(display_name="standard_fhd")
+    vs_stream = fvvdp_video_source_file(tst, ref, display_photometry="standard_fhd")
+    assert vs_stream.get_video_size() == (H, W, F)
+    assert vs_stream.get_frames_per_second() == FPS
+    Q_stream, _ = fv.predict_video_source(vs_stream)
+
+    vs_pre = fvvdp_video_source_file(tst, ref, display_photometry="standard_fhd",
+                                     preload=True)
+    Q_pre, _ = fv.predict_video_source(vs_pre)
+    assert np.isfinite(Q_stream) and 0 <= Q_stream <= 10
+    np.testing.assert_allclose(Q_stream, Q_pre, atol=1e-5)
+
+
+def test_blocked_read_matches_per_frame(fake_ffmpeg):
+    from fovvideovdp_tpu.video_source_file import fvvdp_video_source_file
+
+    tst, _ = _make_video(fake_ffmpeg, "tst", seed=0)
+    ref, _ = _make_video(fake_ffmpeg, "ref", seed=1)
+
+    vs_blk = fvvdp_video_source_file(tst, ref, display_photometry="standard_fhd")
+    t_blk, r_blk = vs_blk.get_luminance_block(0, F)
+    assert t_blk.shape == (F, H, W)
+
+    vs_pf = fvvdp_video_source_file(tst, ref, display_photometry="standard_fhd")
+    t_pf = jnp.concatenate([vs_pf.get_test_frame(i)[0, 0] for i in range(F)])
+    r_pf = jnp.concatenate([vs_pf.get_reference_frame(i)[0, 0] for i in range(F)])
+    np.testing.assert_allclose(np.asarray(t_blk), np.asarray(t_pf), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r_blk), np.asarray(r_pf), atol=1e-6)
+
+
+def test_gray_yuv_matches_array_source(fake_ffmpeg):
+    """Neutral-chroma YUV must equal an array source fed the same gray RGB
+    (validates the on-device fixed-point conversion numerically)."""
+    from fovvideovdp_tpu.video_source import fvvdp_video_source_array
+    from fovvideovdp_tpu.video_source_file import fvvdp_video_source_file
+
+    tst, frames = _make_video(fake_ffmpeg, "tst", seed=3, gray=True)
+    vs = fvvdp_video_source_file(tst, tst, display_photometry="standard_fhd")
+    t_blk, _ = vs.get_luminance_block(0, F)
+
+    y_norm = np.stack([np.clip((f[0].astype(np.float32) - 16.0) / 219.0, 0, 1)
+                       for f in frames])                      # (F, H, W)
+    rgb = np.repeat(y_norm[..., None], 3, axis=-1)            # (F, H, W, 3)
+    vs_arr = fvvdp_video_source_array(
+        rgb.transpose(1, 2, 3, 0), rgb.transpose(1, 2, 3, 0), FPS,
+        dim_order="HWCF", display_photometry="standard_fhd")
+    t_arr, _ = vs_arr.get_luminance_block(0, F)
+    np.testing.assert_allclose(np.asarray(t_blk), np.asarray(t_arr),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_nb_frames_fallback_from_duration(fake_ffmpeg):
+    from fovvideovdp_tpu.video_source_file import video_reader_yuv_device
+
+    tst, _ = _make_video(fake_ffmpeg, "tst", seed=0,
+                         probe_overrides={"nb_frames": None,
+                                          "duration": str(F / FPS)})
+    vr = video_reader_yuv_device(tst)
+    assert vr.frames == F
+    vr.close()
+
+
+def test_no_metadata_requires_frames_arg(fake_ffmpeg):
+    from fovvideovdp_tpu.video_source_file import video_reader_yuv_device
+
+    tst, _ = _make_video(fake_ffmpeg, "tst", seed=0,
+                         probe_overrides={"nb_frames": None})
+    with pytest.raises(RuntimeError, match="frame count"):
+        video_reader_yuv_device(tst)
+    vr = video_reader_yuv_device(tst, frames=F)  # explicit count works
+    assert vr.frames == F
+    vr.close()
+
+
+def test_cli_video_end_to_end(fake_ffmpeg):
+    tst, _ = _make_video(fake_ffmpeg, "tst", seed=0)
+    ref, _ = _make_video(fake_ffmpeg, "ref", seed=1)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "-m", "fovvideovdp_tpu.run_fvvdp", "--test", tst,
+         "--ref", ref, "--display", "standard_fhd", "--quiet"],
+        capture_output=True, text=True, env=env, timeout=500)
+    assert out.returncode == 0, out.stderr[-2000:]
+    jod = float(out.stdout.strip().split()[-1])
+    assert 0 <= jod <= 10

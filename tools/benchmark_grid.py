@@ -21,12 +21,20 @@ def main():
     ap.add_argument("--frames", type=int, nargs="+", default=[1, 60])
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--display", default="standard_4k")
+    ap.add_argument("--variants", nargs="+", default=["plain"],
+                    choices=["plain", "heatmap", "foveated"],
+                    help="heatmap = threshold heatmap rendered+downloaded per "
+                         "block; foveated = eccentricity-dependent CSF")
     args = ap.parse_args()
 
     from fovvideovdp_tpu import fvvdp
     from fovvideovdp_tpu.video_source import fvvdp_video_source_array
 
-    fv = fvvdp(display_name=args.display)
+    metrics = {
+        "plain": fvvdp(display_name=args.display),
+        "heatmap": fvvdp(display_name=args.display, heatmap="threshold"),
+        "foveated": fvvdp(display_name=args.display, foveated=True),
+    }
     rng = np.random.RandomState(0)
 
     for (W, H) in RESOLUTIONS:
@@ -35,22 +43,24 @@ def main():
             tst = np.clip(ref.astype(np.int16)
                           + rng.randint(-10, 10, ref.shape), 0, 255).astype(np.uint8)
             fps = 0 if F == 1 else 30
-            vs = fvvdp_video_source_array(
-                tst, ref, fps, dim_order="HWCF",
-                display_photometry=fv.display_photometry)
-            Q, _ = fv.predict_video_source(vs)  # warm-up/compile + upload
-            best = None
-            for _ in range(args.repeats):
-                t0 = time.time()
-                Q, _ = fv.predict_video_source(vs)
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
-            print(json.dumps({
-                "resolution": f"{W}x{H}", "frames": F,
-                "seconds": round(best, 4),
-                "fps": round(F / best, 2),
-                "Q_jod": round(float(Q), 4),
-            }), flush=True)
+            for variant in args.variants:
+                fv = metrics[variant]
+                vs = fvvdp_video_source_array(
+                    tst, ref, fps, dim_order="HWCF",
+                    display_photometry=fv.display_photometry)
+                Q, _ = fv.predict_video_source(vs)  # warm-up/compile + upload
+                best = None
+                for _ in range(args.repeats):
+                    t0 = time.time()
+                    Q, _ = fv.predict_video_source(vs)
+                    dt = time.time() - t0
+                    best = dt if best is None else min(best, dt)
+                print(json.dumps({
+                    "resolution": f"{W}x{H}", "frames": F, "variant": variant,
+                    "seconds": round(best, 4),
+                    "fps": round(F / best, 2),
+                    "Q_jod": round(float(Q), 4),
+                }), flush=True)
 
 
 if __name__ == "__main__":
