@@ -58,6 +58,7 @@ class MetricCore:
         self.masking_model = params.get("masking_model",
                                         "min_mutual_masking_perc_norm2")
         self._fn_cache: Dict = {}
+        self._fov_table_cache: Dict = {}
 
         # Static per-band foveation maps (resolution magnification does not
         # depend on gaze; eccentricity does and is computed in-graph).
@@ -96,6 +97,34 @@ class MetricCore:
         """gaze (F, 2) pixel coords -> view directions (2, F) in degrees."""
         return self.geometry.pix2view_direction(
             (self.plan.W, self.plan.H), gaze[:, 0] + 0.5, gaze[:, 1] + 0.5)
+
+    def fov_tables(self, gaze_xy):
+        """Per-band, per-channel (h, w, n) S_log(Y_log) tables for a STATIC
+        fixation point — the LUT's (rho, ecc) axes are collapsed once per
+        video here, so the per-frame foveated CSF costs the same as the
+        non-foveated 1-D path (the reference exploits the same invariance by
+        caching N_nCSF per band for a fixed gaze, pyfvvdp/fvvdp.py:414).
+
+        Costs n_grid floats of HBM per pixel per band per channel; computed
+        on device, cached per fixation point.
+        """
+        key = (float(gaze_xy[0]), float(gaze_xy[1]))
+        if key not in self._fov_table_cache:
+            gaze_dir = self.geometry.pix2view_direction(
+                (self.plan.W, self.plan.H),
+                jnp.asarray([key[0] + 0.5]), jnp.asarray([key[1] + 0.5]))
+            gaze_dir = jnp.reshape(jnp.asarray(gaze_dir), (2, 1, 1))
+            tabs = []
+            for bb in range(self.plan.height):
+                vd = self._band_view_dir[bb]          # (2, h, w)
+                ecc = jnp.sqrt(jnp.sum((vd - gaze_dir) ** 2, axis=0))
+                rho = self._band_rho[bb]              # (h, w)
+                tabs.append(tuple(
+                    csf_mod.reduce_lut_to_pixel_tables(self.luts[cc], rho, ecc)
+                    for cc in range(len(self.luts))))
+            jax.block_until_ready(tabs)
+            self._fov_table_cache[key] = tabs
+        return self._fov_table_cache[key]
 
     # -- local adaptation / contrast variants --------------------------------
     def _decompose_with_adaptation(self, R: jnp.ndarray):
@@ -182,9 +211,12 @@ class MetricCore:
         return jnp.clip(D, None, 1e4)
 
     def score_frames(self, R: jnp.ndarray, gaze: Optional[jnp.ndarray],
-                     temp_ch: int) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+                     temp_ch: int, fov_tables=None
+                     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         """Score a block of temporal responses R (F, 2*temp_ch, H, W).
 
+        ``fov_tables``: static-gaze per-pixel CSF tables from
+        :meth:`fov_tables` (foveated fast path); None -> per-frame trilinear.
         Returns (Q_per_ch (n_bands, 2, F), heatmap (F, c, H, W) or None).
         """
         p = self.params
@@ -195,7 +227,9 @@ class MetricCore:
 
         bands, L_bkg_list, is_contrast = self._decompose_with_adaptation(R)
 
-        gaze_dir = self._gaze_directions(gaze) if self.foveated else None
+        use_static_fov = self.foveated and fov_tables is not None
+        gaze_dir = self._gaze_directions(gaze) \
+            if self.foveated and not use_static_fov else None
 
         # Fully fused CSF+masking+norm Pallas path for the default
         # configuration (per band/channel, one VMEM pass, no HBM
@@ -223,7 +257,10 @@ class MetricCore:
             npix = h * w
 
             ecc_for_mapping = None
-            if self.foveated:
+            if use_static_fov:
+                ecc = None
+                rho = None
+            elif self.foveated:
                 if self.content_mapping is not None:
                     xv = np.linspace(0.5, w - 0.5, w, dtype=np.float32)
                     yv = np.linspace(0.5, h - 0.5, h, dtype=np.float32)
@@ -271,7 +308,10 @@ class MetricCore:
                     T_f = jnp.clip(T_f / L_bkg_c, None, 1000.0)
                     R_f = jnp.clip(R_f / L_bkg_c, None, 1000.0)
 
-                if self.foveated:
+                if use_static_fov:
+                    S = csf_mod.sensitivity_pixel_tables(
+                        self.luts[cc], fov_tables[bb][cc], L_bkg)
+                elif self.foveated:
                     S = csf_mod.sensitivity_trilinear(self.luts[cc], rho, L_bkg, ecc)
                 else:
                     S = csf_mod.sensitivity_1d(self.luts[cc],
@@ -332,58 +372,105 @@ class MetricCore:
     # ------------------------------------------------------------------
     # jitted entry points
     # ------------------------------------------------------------------
-    def image_fn(self):
+    def _static_fov_tables(self, static_gaze):
+        """Resolve the fixed-gaze CSF tables for the fn builders (None when
+        the dynamic per-frame path must be used)."""
+        if static_gaze is None or not self.foveated \
+                or self.content_mapping is not None:
+            return None
+        return self.fov_tables(static_gaze)
+
+    def image_fn(self, static_gaze=None):
         """Jitted scorer for a single image pair: (T, R) each (H, W) luminance
-        [+ gaze (1, 2) when foveated]."""
-        key = ("image", self.foveated, self.heatmap)
+        [+ gaze (1, 2) when foveated with a moving gaze; a static fixation
+        point is baked in via precomputed CSF tables]."""
+        tables = self._static_fov_tables(static_gaze)
+        # tables are passed as jit ARGUMENTS (closure-captured arrays would be
+        # inlined into the HLO as constants — hundreds of MB of program)
+        key = ("image", self.foveated, self.heatmap, tables is not None)
         if key not in self._fn_cache:
-            if self.foveated:
+            if self.foveated and tables is None:
                 def fn(T, Rf, gaze):
                     R = jnp.stack([T, Rf], axis=0)[None]  # (1, 2, H, W)
                     return self.score_frames(R, gaze, temp_ch=1)
+            elif tables is not None:
+                def fn(T, Rf, tabs):
+                    R = jnp.stack([T, Rf], axis=0)[None]
+                    return self.score_frames(R, None, temp_ch=1,
+                                             fov_tables=tabs)
             else:
                 def fn(T, Rf):
                     R = jnp.stack([T, Rf], axis=0)[None]
                     return self.score_frames(R, None, temp_ch=1)
             self._fn_cache[key] = jax.jit(fn)
-        return self._fn_cache[key]
+        jitted = self._fn_cache[key]
+        if tables is not None:
+            return lambda T, Rf: jitted(T, Rf, tables)
+        return jitted
 
-    def image_block_fn(self):
+    def image_block_fn(self, static_gaze=None):
         """Jitted scorer for a block of frames scored WITHOUT temporal
         channels (the MATLAB `do_temporal_channels=false` ablation,
         fvvdp_core.m:73): inputs (B, H, W) luminance pairs."""
-        key = ("image_block", self.foveated, self.heatmap)
+        tables = self._static_fov_tables(static_gaze)
+        key = ("image_block", self.foveated, self.heatmap, tables is not None)
         if key not in self._fn_cache:
-            if self.foveated:
+            if self.foveated and tables is None:
                 def fn(T, Rf, gaze):
                     R = jnp.stack([T, Rf], axis=1)  # (B, 2, H, W)
                     return self.score_frames(R, gaze, temp_ch=1)
+            elif tables is not None:
+                def fn(T, Rf, tabs):
+                    R = jnp.stack([T, Rf], axis=1)
+                    return self.score_frames(R, None, temp_ch=1,
+                                             fov_tables=tabs)
             else:
                 def fn(T, Rf):
                     R = jnp.stack([T, Rf], axis=1)
                     return self.score_frames(R, None, temp_ch=1)
             self._fn_cache[key] = jax.jit(fn)
-        return self._fn_cache[key]
+        jitted = self._fn_cache[key]
+        if tables is not None:
+            return lambda T, Rf: jitted(T, Rf, tables)
+        return jitted
 
-    def video_block_fn(self, filt: np.ndarray):
+    def video_block_fn(self, filt: np.ndarray, static_gaze=None):
         """Jitted scorer for a block of video frames.
 
         Takes padded luminance sequences (B + fl - 1, H, W) for test and
-        reference [+ gaze (B, 2)], applies the sustained/transient temporal
-        filters and scores the B output frames.  Shapes are static per (B, fl);
-        the caller caches per distinct block size.
+        reference [+ gaze (B, 2) for a moving gaze], applies the
+        sustained/transient temporal filters and scores the B output frames.
+        Shapes are static per (B, fl); the caller caches per distinct block
+        size.  With ``static_gaze`` the foveated CSF uses tables collapsed
+        once per fixation point instead of per-frame trilinear lookups.
         """
-        key = ("video", filt.shape[1], self.foveated, self.heatmap, filt.tobytes())
+        tables = self._static_fov_tables(static_gaze)
+        key = ("video", filt.shape[1], self.foveated, self.heatmap,
+               filt.tobytes(), tables is not None)
         if key not in self._fn_cache:
             F_filt = jnp.asarray(filt)
+            gaze_in_sig = self.foveated and tables is None
 
-            def fn(padded_t, padded_r, *maybe_gaze):
-                Rt = temporal_ops.apply_temporal_filters(padded_t, F_filt)
-                Rr = temporal_ops.apply_temporal_filters(padded_r, F_filt)
-                # order: T-sust, R-sust, T-trans, R-trans (fvvdp.py:293)
-                R = jnp.stack([Rt[:, 0], Rr[:, 0], Rt[:, 1], Rr[:, 1]], axis=1)
-                gaze = maybe_gaze[0] if self.foveated else None
-                return self.score_frames(R, gaze, temp_ch=2)
+            if tables is not None:
+                def fn(padded_t, padded_r, tabs):
+                    Rt = temporal_ops.apply_temporal_filters(padded_t, F_filt)
+                    Rr = temporal_ops.apply_temporal_filters(padded_r, F_filt)
+                    R = jnp.stack([Rt[:, 0], Rr[:, 0], Rt[:, 1], Rr[:, 1]],
+                                  axis=1)
+                    return self.score_frames(R, None, temp_ch=2,
+                                             fov_tables=tabs)
+            else:
+                def fn(padded_t, padded_r, *maybe_gaze):
+                    Rt = temporal_ops.apply_temporal_filters(padded_t, F_filt)
+                    Rr = temporal_ops.apply_temporal_filters(padded_r, F_filt)
+                    # order: T-sust, R-sust, T-trans, R-trans (fvvdp.py:293)
+                    R = jnp.stack([Rt[:, 0], Rr[:, 0], Rt[:, 1], Rr[:, 1]],
+                                  axis=1)
+                    gaze = maybe_gaze[0] if gaze_in_sig else None
+                    return self.score_frames(R, gaze, temp_ch=2)
 
             self._fn_cache[key] = jax.jit(fn)
-        return self._fn_cache[key]
+        jitted = self._fn_cache[key]
+        if tables is not None:
+            return lambda pt, pr: jitted(pt, pr, tables)
+        return jitted

@@ -179,6 +179,60 @@ def _axis_uniform(lut: Dict, axis: str) -> bool:
     return True if flags is None else bool(flags[axis])
 
 
+def reduce_lut_to_pixel_tables(lut: Dict[str, jnp.ndarray], rho, ecc):
+    """Collapse the 3-D LUT over its (rho, ecc) axes with PER-PIXEL static
+    maps -> (h, w, n) S_log(Y_log) tables.
+
+    This is the fixed-gaze foveated fast path: when the fixation point does
+    not move, rho (spatial frequency x resolution magnification) and ecc
+    (eccentricity) are static per band, so the expensive two-axis
+    interpolation runs ONCE per video here, and the per-frame work reduces
+    to the same 1-D luminance interpolation as the non-foveated path.
+    Exactly equal to sensitivity_trilinear by associativity of linear
+    interpolation.
+    """
+    shape = jnp.shape(ecc)
+    rho = jnp.broadcast_to(jnp.asarray(rho, jnp.float32), shape).reshape(-1)
+    ecc = jnp.reshape(jnp.asarray(ecc, jnp.float32), (-1,))
+
+    rho_q = jnp.log2(jnp.clip(rho, lut["rho"][0], lut["rho"][-1]))
+    ecc_q = jnp.sqrt(jnp.clip(ecc, lut["ecc"][0], lut["ecc"][-1]))
+
+    V = lut["S_log"]                       # [Y, rho, ecc] = (n, n, n)
+    n = V.shape[0]
+    N = rho.shape[0]
+    chunk = min(_TRILINEAR_CHUNK, N)
+    n_chunks = -(-N // chunk)
+    pad = n_chunks * chunk - N
+    if pad:
+        rho_q = jnp.concatenate([rho_q, jnp.zeros((pad,), rho_q.dtype)])
+        ecc_q = jnp.concatenate([ecc_q, jnp.zeros((pad,), ecc_q.dtype)])
+
+    u_r = _axis_uniform(lut, "rho_log")
+    u_e = _axis_uniform(lut, "ecc_sqrt")
+
+    def one_chunk(args):
+        rq, eq = args
+        w_r = _grid_weights(rq, lut["rho_log"], u_r)    # (c, n)
+        w_e = _grid_weights(eq, lut["ecc_sqrt"], u_e)   # (c, n)
+        B = jnp.einsum("yjk,pk->pyj", V, w_e)           # (c, n, n)
+        return jnp.einsum("pyj,pj->py", B, w_r)         # (c, n)
+
+    T = jax.lax.map(one_chunk, (rho_q.reshape(n_chunks, chunk),
+                                ecc_q.reshape(n_chunks, chunk)))
+    return T.reshape(-1, n)[:N].reshape(shape + (n,))
+
+
+def sensitivity_pixel_tables(lut: Dict[str, jnp.ndarray], tables, L_bkg):
+    """Per-pixel S from per-pixel S_log(Y_log) tables (h, w, n); L_bkg may
+    carry leading frame axes.  Gather-free one-hot contraction as in
+    sensitivity_1d."""
+    Yq = jnp.log2(jnp.clip(L_bkg, lut["Y"][0], lut["Y"][-1]))
+    oh = _grid_weights(Yq, lut["Y_log"], _axis_uniform(lut, "Y_log"))
+    s_log = jnp.sum(oh * tables, axis=-1)  # tables broadcast over frames
+    return jnp.power(2.0, s_log)
+
+
 def sensitivity_1d(lut: Dict[str, jnp.ndarray], table_1d, L_bkg):
     """Per-pixel S from a pre-reduced 1-D S_log(Y_log) table.
 

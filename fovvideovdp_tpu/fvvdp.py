@@ -166,6 +166,12 @@ class fvvdp:
         if fixation_point is None:
             fixation_point = np.array([width // 2, height // 2])
         fixation_point = np.asarray(fixation_point, dtype=np.float32)
+        # A non-moving fixation point lets the foveated CSF collapse to
+        # per-pixel luminance tables computed once per video (core.fov_tables)
+        static_gaze = None
+        if self.foveated and fixation_point.ndim == 1 \
+                and self.content_mapping is None:
+            static_gaze = (float(fixation_point[0]), float(fixation_point[1]))
 
         core = self._get_core(width, height)
         plan = core.plan
@@ -180,11 +186,13 @@ class fvvdp:
             # log-contrast mode feeds log10 luminance into the pipeline
             return jnp.log10(jnp.clip(x, 1e-6, None)) if log_c else x
 
+        pass_gaze = self.foveated and static_gaze is None
+
         if is_image:
             t, r = vid_source.get_luminance_block(0, 1)
             t, r = _enc(t), _enc(r)
-            fn = core.image_fn()
-            if self.foveated:
+            fn = core.image_fn(static_gaze=static_gaze)
+            if pass_gaze:
                 gaze = self._gaze_for_frames(fixation_point, 0, 1, N_frames)
                 Q_per_ch, heat = fn(t[0], r[0], jnp.asarray(gaze))
             else:
@@ -197,7 +205,7 @@ class fvvdp:
             # (matlab/fvvdp_core.m:73,112).
             B = self._pick_block_size(height, width, N_frames)
             Q_per_ch = np.zeros((plan.height, 2, N_frames), dtype=np.float32)
-            fn = core.image_block_fn()
+            fn = core.image_block_fn(static_gaze=static_gaze)
             pending = None
             pos = 0
             while pos < N_frames:
@@ -207,7 +215,7 @@ class fvvdp:
                 if b < B:
                     t = jnp.concatenate([t, jnp.repeat(t[-1:], B - b, axis=0)])
                     r = jnp.concatenate([r, jnp.repeat(r[-1:], B - b, axis=0)])
-                if self.foveated:
+                if pass_gaze:
                     gaze = self._gaze_for_frames(fixation_point, pos, b, N_frames)
                     if b < B:
                         gaze = np.concatenate(
@@ -235,7 +243,7 @@ class fvvdp:
             B = self._pick_block_size(height, width, N_frames)
             Q_per_ch = np.zeros((plan.height, 2, N_frames), dtype=np.float32)
             stream_idx = pad_idx[fl - 1:]  # frame index feeding each output frame
-            fn = core.video_block_fn(filt)
+            fn = core.video_block_fn(filt, static_gaze=static_gaze)
 
             # The block loop is software-pipelined: device work for block k+1
             # is dispatched before block k's results are pulled to the host,
@@ -260,7 +268,7 @@ class fvvdp:
                                                                axis=0)], axis=0)
                 padded_t = jnp.concatenate([carry_t, new_t], axis=0)
                 padded_r = jnp.concatenate([carry_r, new_r], axis=0)
-                if self.foveated:
+                if pass_gaze:
                     gaze = self._gaze_for_frames(fixation_point, pos, b, N_frames)
                     if b < B:
                         gaze = np.concatenate(

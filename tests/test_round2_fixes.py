@@ -149,3 +149,37 @@ def test_nonuniform_lut_1d_matches_interp3():
 def test_uniform_flag_detected_on_shipped_luts():
     lut = csf_mod.CSFCache().get(0.0, -1.5, 0.604562)
     assert csf_mod.lut_is_uniform(lut)
+
+
+# ---------------------------------------------------------------------------
+# fixed-gaze foveated fast path (CSF collapsed to per-pixel luminance tables)
+# ---------------------------------------------------------------------------
+def test_static_gaze_matches_moving_gaze_at_same_point():
+    rng = np.random.RandomState(11)
+    F, H, W = 4, 36, 52
+    ref = (rng.rand(H, W, 3, F) * 255).astype(np.uint8)
+    tst = np.clip(ref.astype(np.int16) + rng.randint(-18, 18, ref.shape),
+                  0, 255).astype(np.uint8)
+    fix = np.array([W // 3, H // 2])
+
+    fv = fvvdp(display_name="standard_hmd", foveated=True)
+    Q_static, _ = fv.predict(tst, ref, dim_order="HWCF", frames_per_second=30,
+                             fixation_point=fix)
+    # an (F, 2) fixation forces the dynamic per-frame trilinear path
+    Q_dynamic, _ = fv.predict(tst, ref, dim_order="HWCF", frames_per_second=30,
+                              fixation_point=np.tile(fix, (F, 1)))
+    np.testing.assert_allclose(Q_static, Q_dynamic, rtol=1e-5, atol=1e-5)
+
+
+def test_pixel_tables_match_trilinear():
+    lut = csf_mod.CSFCache().get(0.0, -1.5, 0.604562)
+    rng = np.random.RandomState(12)
+    h, w = 17, 23
+    rho = jnp.asarray(rng.rand(h, w).astype(np.float32) * 30 + 0.1)
+    ecc = jnp.asarray(rng.rand(h, w).astype(np.float32) * 100)
+    L = jnp.asarray(rng.rand(3, h, w).astype(np.float32) * 900 + 0.01)
+    tables = csf_mod.reduce_lut_to_pixel_tables(lut, rho, ecc)
+    S_fast = np.asarray(csf_mod.sensitivity_pixel_tables(lut, tables, L))
+    S_ref = np.asarray(csf_mod.sensitivity_trilinear(
+        lut, jnp.broadcast_to(rho, L.shape), L, jnp.broadcast_to(ecc, L.shape)))
+    np.testing.assert_allclose(S_fast, S_ref, rtol=2e-4)
