@@ -63,12 +63,60 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p]
         lib.fvvdp_yuv_close.restype = None
         lib.fvvdp_yuv_close.argtypes = [ctypes.c_void_p]
+        lib.fvvdp_pipe_open.restype = ctypes.c_void_p
+        lib.fvvdp_pipe_open.argtypes = [ctypes.c_int, ctypes.c_long,
+                                        ctypes.c_long]
+        lib.fvvdp_pipe_read_block.restype = ctypes.c_long
+        lib.fvvdp_pipe_read_block.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p]
+        lib.fvvdp_pipe_close.restype = None
+        lib.fvvdp_pipe_close.argtypes = [ctypes.c_void_p]
         lib.fvvdp_unpack_yuv_frame.restype = None
         lib.fvvdp_unpack_yuv_frame.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
         _lib = lib
         return _lib
+
+
+class NativePipeReader:
+    """Prefetching drain for a rawvideo pipe (ffmpeg stdout) backed by
+    libfvvdp_io: a background thread reads frames into a ring of host
+    buffers so the decoder keeps working ahead of the consumer.
+
+    The caller keeps ownership of the fd and of the producing process, and
+    must terminate the producer BEFORE calling :meth:`close` — EOF is what
+    unblocks the worker thread if it is mid-read.
+    """
+
+    def __init__(self, fd: int, frame_bytes: int, ring_frames: int = 4):
+        lib = load()
+        if lib is None:
+            raise RuntimeError("native I/O library unavailable")
+        self._lib = lib
+        self.frame_bytes = int(frame_bytes)
+        self._h = lib.fvvdp_pipe_open(int(fd), self.frame_bytes,
+                                      int(ring_frames))
+        if not self._h:
+            raise RuntimeError("cannot start native pipe reader")
+
+    def read_block(self, count: int, dtype=None):
+        """Read up to ``count`` frames; returns (n, frame_bytes/itemsize)
+        array (n < count only at end of stream, n == 0 at EOF)."""
+        import numpy as np
+        dtype = np.dtype(dtype or np.uint8)
+        out = np.empty((count, self.frame_bytes // dtype.itemsize), dtype=dtype)
+        n = self._lib.fvvdp_pipe_read_block(
+            self._h, count, out.ctypes.data_as(ctypes.c_void_p))
+        return out[:n]
+
+    def close(self):
+        if getattr(self, "_h", None):
+            self._lib.fvvdp_pipe_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        self.close()
 
 
 class NativeYuvReader:

@@ -9,6 +9,11 @@
 //    device compute (double-buffered, like the ffmpeg pipe overlap).
 //  * frame block assembly: gathers arbitrary frame indices into one
 //    contiguous buffer ready for a single host->device transfer.
+//  * pipe_reader: a prefetching drain for the ffmpeg rawvideo pipe — a
+//    background thread reads frames off the decoder's stdout into a ring of
+//    host buffers, so ffmpeg keeps decoding ahead while the TPU scores the
+//    previous block (a kernel pipe holds ~64 KB, a fraction of one frame, so
+//    without this the decoder stalls whenever the consumer is busy).
 //  * fixed-point unpack helpers (limited-range YUV -> float) for host-side
 //    fallbacks.
 //
@@ -22,6 +27,11 @@
 #include <mutex>
 #include <thread>
 #include <vector>
+
+#if !defined(_WIN32)
+#include <cerrno>
+#include <unistd.h>
+#endif
 
 namespace {
 
@@ -129,6 +139,103 @@ struct YuvReader {
   }
 };
 
+#if !defined(_WIN32)
+
+// Prefetching drain for a rawvideo pipe (ffmpeg stdout).  A background
+// thread reads whole frames into a ring of `ring_frames` buffers; the
+// consumer copies them out in order.  Single producer, single consumer.
+struct PipeReader {
+  int fd = -1;
+  size_t frame_bytes = 0;
+  long ring_frames = 0;
+  std::vector<uint8_t> buf;  // ring_frames * frame_bytes
+  std::mutex mu;
+  std::condition_variable cv_space;  // producer waits for a free slot
+  std::condition_variable cv_data;   // consumer waits for a filled slot
+  long head = 0;  // frames produced
+  long tail = 0;  // frames consumed
+  bool eof = false;
+  std::atomic<bool> stop{false};
+  std::thread worker;
+
+  ~PipeReader() {
+    stop.store(true);
+    cv_space.notify_all();
+    cv_data.notify_all();
+    if (worker.joinable()) worker.join();
+  }
+
+  bool read_full_frame(uint8_t* dst) {
+    size_t got = 0;
+    while (got < frame_bytes) {
+      ssize_t n = ::read(fd, dst + got, frame_bytes - got);
+      if (n == 0) return false;  // EOF (a partial trailing frame is dropped)
+      if (n < 0) {
+        if (errno == EINTR) continue;
+        return false;
+      }
+      got += (size_t)n;
+    }
+    return true;
+  }
+
+  void worker_loop() {
+    for (;;) {
+      long slot;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_space.wait(lk, [&] {
+          return stop.load() || head - tail < ring_frames;
+        });
+        if (stop.load()) return;
+        slot = head % ring_frames;
+      }
+      bool ok = read_full_frame(&buf[(size_t)slot * frame_bytes]);
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        if (!ok) {
+          eof = true;
+          cv_data.notify_all();
+          return;
+        }
+        ++head;
+      }
+      cv_data.notify_all();
+    }
+  }
+
+  // Copy up to `count` frames into `dst`; blocks until they are available.
+  // Returns the number delivered (< count only at end of stream).
+  long read_block(long count, uint8_t* dst) {
+    long done = 0;
+    while (done < count) {
+      long take;
+      long start_tail;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_data.wait(lk, [&] { return head > tail || eof || stop.load(); });
+        if (head == tail) break;  // drained and EOF/stopped
+        take = std::min(count - done, head - tail);
+        start_tail = tail;
+      }
+      for (long i = 0; i < take; ++i) {
+        long slot = (start_tail + i) % ring_frames;
+        memcpy(dst + (size_t)(done + i) * frame_bytes,
+               &buf[(size_t)slot * frame_bytes], frame_bytes);
+      }
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        tail += take;
+      }
+      cv_space.notify_all();
+      done += take;
+    }
+    return done;
+  }
+};
+
+#endif  // !_WIN32
+
 }  // namespace
 
 extern "C" {
@@ -190,6 +297,33 @@ long fvvdp_yuv_read_indices(void* handle, const long* indices, long count,
 void fvvdp_yuv_close(void* handle) {
   delete static_cast<YuvReader*>(handle);
 }
+
+#if !defined(_WIN32)
+
+// Start draining frames of `frame_bytes` from file descriptor `fd` into a
+// ring of `ring_frames` host buffers.  The fd stays owned by the caller (the
+// subprocess pipe); the reader only read()s from it.
+void* fvvdp_pipe_open(int fd, long frame_bytes, long ring_frames) {
+  if (fd < 0 || frame_bytes <= 0 || ring_frames <= 0) return nullptr;
+  auto* r = new PipeReader();
+  r->fd = fd;
+  r->frame_bytes = (size_t)frame_bytes;
+  r->ring_frames = ring_frames;
+  r->buf.resize((size_t)ring_frames * (size_t)frame_bytes);
+  r->worker = std::thread([r] { r->worker_loop(); });
+  return r;
+}
+
+long fvvdp_pipe_read_block(void* handle, long count, uint8_t* dst) {
+  if (!handle) return 0;
+  return static_cast<PipeReader*>(handle)->read_block(count, dst);
+}
+
+void fvvdp_pipe_close(void* handle) {
+  delete static_cast<PipeReader*>(handle);
+}
+
+#endif  // !_WIN32
 
 // Limited-range fixed-point -> float unpack (video_source_yuv.py:205-218):
 // luma:   clip(v / (2^(bd-8) * 219) - 16/219, 0, 1)

@@ -97,9 +97,31 @@ class video_reader:
         self._setup_ffmpeg(vidfile, resize_fn, resize_height, resize_width, verbose)
         self.curr_frame = -1
 
+    # host-RAM budget for the native prefetch ring, per stream
+    _PIPE_RING_BYTES = 128 << 20
+
     def _spawn(self, args):
         self.process = subprocess.Popen(args, stdout=subprocess.PIPE,
                                         bufsize=max(self.frame_bytes * 4, 1 << 20))
+        self._pipe = None  # native prefetcher, created lazily on first read
+
+    def _pipe_reader(self):
+        """Native prefetching pipe drain (background thread + frame ring), so
+        ffmpeg decodes ahead while the device scores the previous block — a
+        kernel pipe holds ~64 KB, far less than one frame, so without the
+        drain the decoder stalls whenever this process is busy.  Created on
+        first read (frame_bytes is only final after subclass __init__);
+        False = native runtime unavailable, use the blocking Python reads."""
+        if self._pipe is None:
+            try:
+                from fovvideovdp_tpu.native import NativePipeReader
+                ring = max(2, min(16, self._PIPE_RING_BYTES // self.frame_bytes))
+                self._pipe = NativePipeReader(self.process.stdout.fileno(),
+                                              self.frame_bytes, ring)
+            except Exception as e:  # missing toolchain, non-POSIX, ...
+                logging.debug("native pipe reader unavailable: %s", e)
+                self._pipe = False
+        return self._pipe
 
     def _setup_ffmpeg(self, vidfile, resize_fn, resize_height, resize_width, verbose):
         if any(f"p{bd}" in self.in_pix_fmt for bd in (10, 12, 14, 16)):
@@ -121,9 +143,17 @@ class video_reader:
                      "-f", "rawvideo", "-pix_fmt", out_pix_fmt, "pipe:"])
 
     def get_frame(self) -> Optional[np.ndarray]:
+        if self.curr_frame == self.frames:
+            return None
+        pipe = self._pipe_reader()
+        if pipe:
+            block = pipe.read_block(1, dtype=self.dtype)
+            if block.shape[0] < 1:
+                return None
+            self.curr_frame += 1
+            return block[0]
         in_bytes = self.process.stdout.read(self.frame_bytes)
-        if not in_bytes or len(in_bytes) < self.frame_bytes \
-                or self.curr_frame == self.frames:
+        if not in_bytes or len(in_bytes) < self.frame_bytes:
             return None
         self.curr_frame += 1
         return np.frombuffer(in_bytes, self.dtype)
@@ -139,6 +169,13 @@ class video_reader:
         want = min(count, self.frames - 1 - self.curr_frame)
         if want <= 0:
             return None
+        pipe = self._pipe_reader()
+        if pipe:
+            block = pipe.read_block(want, dtype=self.dtype)
+            if block.shape[0] == 0:
+                return None
+            self.curr_frame += block.shape[0]
+            return block
         buf = self.process.stdout.read(want * self.frame_bytes)
         n = len(buf) // self.frame_bytes
         if n == 0:
@@ -160,9 +197,17 @@ class video_reader:
 
     def close(self):
         if getattr(self, "process", None) is not None:
-            self.process.stdout.close()
-            self.process.kill()
-            self.process = None
+            proc, self.process = self.process, None
+            # Kill the decoder FIRST: its death closes the pipe's write end,
+            # which is what unblocks the native drain thread if it is
+            # mid-read; only then is joining that thread safe.
+            proc.kill()
+            pipe = getattr(self, "_pipe", None)
+            if pipe:
+                pipe.close()
+                self._pipe = False
+            proc.stdout.close()
+            proc.wait()
 
     def __del__(self):
         self.close()

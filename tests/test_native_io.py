@@ -49,6 +49,101 @@ def test_native_out_of_range(yuv_file):
     r.close()
 
 
+def _spawn_byte_producer(py_body):
+    import subprocess
+    import sys
+    return subprocess.Popen([sys.executable, "-c", py_body],
+                            stdout=subprocess.PIPE)
+
+
+def test_pipe_reader_streams_and_eof(tmp_path):
+    """Frames stream through the ring in order; a partial trailing frame is
+    dropped at EOF; reads past EOF return empty."""
+    if native.load() is None:
+        pytest.skip("no C++ toolchain")
+    fb = 1000
+    n = 25
+    p = _spawn_byte_producer(
+        "import sys\n"
+        f"data = bytes((i * 7 + j) % 256 for i in range({n}) "
+        f"for j in range({fb}))\n"
+        "sys.stdout.buffer.write(data + b'\\x42' * 17)\n")  # + partial frame
+    r = native.NativePipeReader(p.stdout.fileno(), fb, ring_frames=4)
+    got = [r.read_block(7) for _ in range(5)]
+    expect = np.array([[(i * 7 + j) % 256 for j in range(fb)]
+                       for i in range(n)], dtype=np.uint8)
+    np.testing.assert_array_equal(np.concatenate(got[:4]), expect)
+    assert got[4].shape[0] == 0  # EOF; the 17 trailing bytes are dropped
+    p.kill()
+    r.close()
+    p.stdout.close()
+    p.wait()
+
+
+def test_pipe_reader_prefetches_ahead(tmp_path):
+    """The background drain lets a producer finish writing MORE than the
+    kernel pipe capacity while the consumer reads nothing — the overlap the
+    synchronous Python reads cannot provide."""
+    if native.load() is None:
+        pytest.skip("no C++ toolchain")
+    import time
+    fb = 1 << 20  # 1 MB frames >> 64 KB kernel pipe
+    done = tmp_path / "done"
+    p = _spawn_byte_producer(
+        "import sys\n"
+        f"sys.stdout.buffer.write(b'\\xab' * ({fb} * 3))\n"
+        "sys.stdout.buffer.flush()\n"
+        f"open({str(done)!r}, 'w').close()\n")
+    r = native.NativePipeReader(p.stdout.fileno(), fb, ring_frames=4)
+    deadline = time.time() + 30
+    while not done.exists() and time.time() < deadline:
+        time.sleep(0.02)  # consumer idle: only the ring can absorb 3 MB
+    assert done.exists(), "producer stalled: pipe was not drained ahead"
+    blk = r.read_block(3)
+    assert blk.shape == (3, fb) and (blk == 0xAB).all()
+    p.kill()
+    r.close()
+    p.stdout.close()
+    p.wait()
+
+
+def test_video_reader_uses_native_pipe(tmp_path, monkeypatch):
+    """video_reader engages the native drain when the library is available."""
+    if native.load() is None:
+        pytest.skip("no C++ toolchain")
+    import os
+    import stat
+    import sys
+    import json
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    H, W, F = 24, 32, 4
+    raw = np.arange(H * W * 3 * F, dtype=np.uint8).reshape(F, -1) % 251
+    vid = tmp_path / "v.mp4"
+    vid.write_bytes(raw.tobytes())
+    probe = {"streams": [{"codec_type": "video", "width": W, "height": H,
+                          "pix_fmt": "rgb24", "nb_frames": str(F),
+                          "r_frame_rate": "30/1"}]}
+    (tmp_path / "v.mp4.probe.json").write_text(json.dumps(probe))
+    for name, body in (
+            ("ffprobe", "import sys\n"
+                        "print(open(sys.argv[-1] + '.probe.json').read())\n"),
+            ("ffmpeg", "import sys\n"
+                       "path = sys.argv[sys.argv.index('-i') + 1]\n"
+                       "sys.stdout.buffer.write(open(path, 'rb').read())\n")):
+        exe = bindir / name
+        exe.write_text(f"#!{sys.executable}\n{body}")
+        os.chmod(exe, os.stat(exe).st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{bindir}{os.pathsep}{os.environ['PATH']}")
+
+    from fovvideovdp_tpu.video_source_file import video_reader
+    vr = video_reader(str(vid))
+    blk = vr.get_frames_block(F)
+    np.testing.assert_array_equal(blk, raw)
+    assert vr._pipe, "native pipe reader was not engaged"
+    vr.close()
+
+
 def test_yuvreader_uses_native(yuv_file):
     path, frames = yuv_file
     from fovvideovdp_tpu.video_source_yuv import YUVReader
