@@ -10,7 +10,10 @@ feature export) around the functional jit-compiled core in
   is carried between blocks as the trailing filter_len-1 padded frames.
 * ``filter_len`` is per-call state, not object state (the reference mutates
   the instance per video, fvvdp.py:228).
-* Heatmaps are rendered on device and transferred once per block as fp16.
+* Heatmaps are rendered on device and transferred once per block as fp16 —
+  or kept on device entirely (``device_heatmap=True``) when the caller
+  post-processes them there (visual-loss training, on-device encoding),
+  which removes the dominant cost of the heatmap path on slow transports.
 """
 from __future__ import annotations
 
@@ -46,7 +49,7 @@ class fvvdp:
                  use_checkpoints=False, block_frames=None,
                  do_temporal_channels=True, ignore_boundary_pixels=False,
                  band_callback=None, content_mapping=None,
-                 parameter_overrides=None):
+                 parameter_overrides=None, device_heatmap=False):
         assert heatmap in [None, "none", "raw", "threshold", "supra-threshold",
                            "monochromatic"], "Unsupported heatmap type"
         assert temp_padding in ["replicate", "circular", "pingpong"], \
@@ -60,6 +63,12 @@ class fvvdp:
         self.use_checkpoints = use_checkpoints
         self.block_frames = block_frames
         self.do_heatmap = heatmap is not None and heatmap != "none"
+        # Keep stats["heatmap"] as a device (HBM-resident) array instead of
+        # pulling fp16 frames to the host — a TPU-native extension: a 4K
+        # 60-frame threshold heatmap is ~3 GB, which dominates end-to-end
+        # time on anything slower than PCIe. Whole-video heatmaps must fit
+        # in HBM; stream block-wise (host heatmaps) for long content.
+        self.device_heatmap = device_heatmap
         self.device = device  # accepted for API compatibility; JAX manages devices
         # research/ablation options of the MATLAB core (fvvdp_core.m:60-77)
         self.do_temporal_channels = do_temporal_channels
@@ -178,7 +187,9 @@ class fvvdp:
         rho_band = plan.get_freqs()
         is_image = N_frames == 1
 
-        heatmap_frames = [None] * N_frames if self.do_heatmap else None
+        heatmap_frames = [None] * N_frames \
+            if self.do_heatmap and not self.device_heatmap else None
+        heat_dev_blocks = [] if self.do_heatmap and self.device_heatmap else None
 
         log_c = self.contrast == "log"
 
@@ -199,7 +210,10 @@ class fvvdp:
                 Q_per_ch, heat = fn(t[0], r[0])
             Q_per_ch = np.asarray(Q_per_ch)
             if self.do_heatmap:
-                heatmap_frames[0] = np.asarray(heat[0])
+                if self.device_heatmap:
+                    heat_dev_blocks.append(heat)
+                else:
+                    heatmap_frames[0] = np.asarray(heat[0])
         elif not self.do_temporal_channels:
             # Ablation: score every video frame as an independent image
             # (matlab/fvvdp_core.m:73,112).
@@ -224,11 +238,11 @@ class fvvdp:
                 else:
                     Q_blk, heat = fn(t, r)
                 if pending is not None:
-                    self._drain_block(pending, Q_per_ch, heatmap_frames)
+                    self._drain_block(pending, Q_per_ch, heatmap_frames, heat_dev_blocks)
                 pending = (pos, b, Q_blk, heat)
                 pos += b
             if pending is not None:
-                self._drain_block(pending, Q_per_ch, heatmap_frames)
+                self._drain_block(pending, Q_per_ch, heatmap_frames, heat_dev_blocks)
         else:
             fps = vid_source.get_frames_per_second()
             fl = temporal_ops.filter_len_for_fps(fps)
@@ -278,7 +292,7 @@ class fvvdp:
                     Q_blk, heat = fn(padded_t, padded_r)
 
                 if pending is not None:
-                    self._drain_block(pending, Q_per_ch, heatmap_frames)
+                    self._drain_block(pending, Q_per_ch, heatmap_frames, heat_dev_blocks)
                 pending = (pos, b, Q_blk, heat)
 
                 if fl > 1:
@@ -291,7 +305,7 @@ class fvvdp:
                     carry_r = padded_r[:0]
                 pos += b
             if pending is not None:
-                self._drain_block(pending, Q_per_ch, heatmap_frames)
+                self._drain_block(pending, Q_per_ch, heatmap_frames, heat_dev_blocks)
 
         Q_jod = self.do_pooling_and_jods(jnp.asarray(Q_per_ch))
 
@@ -305,18 +319,27 @@ class fvvdp:
         }
         if self.do_heatmap:
             # (1, c, F, H, W) float16 — same layout/dtype as the reference
-            stats["heatmap"] = np.stack(heatmap_frames, axis=1)[None]
+            if self.device_heatmap:
+                full = heat_dev_blocks[0] if len(heat_dev_blocks) == 1 \
+                    else jnp.concatenate(heat_dev_blocks, axis=0)
+                stats["heatmap"] = jnp.transpose(full, (1, 0, 2, 3))[None]
+            else:
+                stats["heatmap"] = np.stack(heatmap_frames, axis=1)[None]
         return float(Q_jod), stats
 
     @staticmethod
-    def _drain_block(pending, Q_per_ch, heatmap_frames):
-        """Materialise a finished block's device results on the host."""
+    def _drain_block(pending, Q_per_ch, heatmap_frames, heat_dev_blocks=None):
+        """Materialise a finished block's device results on the host (or keep
+        the heatmap on device when ``device_heatmap`` is set)."""
         pos, b, Q_blk, heat = pending
         Q_per_ch[:, :, pos:pos + b] = np.asarray(Q_blk)[:, :, :b]
-        if heatmap_frames is not None and heat is not None:
-            heat_np = np.asarray(heat)
-            for i in range(b):
-                heatmap_frames[pos + i] = heat_np[i]
+        if heat is not None:
+            if heat_dev_blocks is not None:
+                heat_dev_blocks.append(heat[:b])
+            elif heatmap_frames is not None:
+                heat_np = np.asarray(heat)
+                for i in range(b):
+                    heatmap_frames[pos + i] = heat_np[i]
 
     def _gaze_for_frames(self, fixation_point: np.ndarray, start: int, count: int,
                          n_frames: int) -> np.ndarray:

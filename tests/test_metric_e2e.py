@@ -93,6 +93,32 @@ def test_video_heatmap(goldens):
                                g["heatmap"], atol=2e-3)
 
 
+def test_video_heatmap_device_resident(goldens):
+    """device_heatmap=True keeps stats['heatmap'] in device memory with
+    identical contents and layout (blocked path + image path)."""
+    import jax
+
+    g = goldens("video_path_heatmap")
+    gv = goldens("video_path_replicate")
+    fv = fvvdp(display_name="standard_fhd", heatmap="raw", device_heatmap=True,
+               block_frames=3)  # >1 block so concatenation is exercised
+    Q, stats = fv.predict(gv["test"], gv["ref"], dim_order="HWCF",
+                          frames_per_second=float(gv["fps"]))
+    assert isinstance(stats["heatmap"], jax.Array)
+    assert abs(Q - float(g["Q_jod"])) <= JOD_TOL
+    np.testing.assert_allclose(np.asarray(stats["heatmap"]).astype(np.float32),
+                               g["heatmap"], atol=2e-3)
+
+    gi = goldens("image_path_heatmap_threshold")
+    g8 = goldens("image_path_uint8")
+    fvi = fvvdp(display_name="standard_4k", heatmap="threshold",
+                device_heatmap=True)
+    _, si = fvi.predict(g8["test"], g8["ref"], dim_order="HWC")
+    assert isinstance(si["heatmap"], jax.Array)
+    np.testing.assert_allclose(np.asarray(si["heatmap"]).astype(np.float32),
+                               gi["heatmap"], atol=5e-3)
+
+
 def test_foveated_video(goldens):
     g = goldens("foveated_video")
     fv = fvvdp(display_name="htc_vive_pro", foveated=True)
