@@ -59,6 +59,14 @@ class MetricCore:
                                         "min_mutual_masking_perc_norm2")
         self._fn_cache: Dict = {}
         self._fov_table_cache: Dict = {}
+        # Both shipped LUTs (omega = 0/5 Hz) share one Y grid, letting the
+        # fused kernel score both temporal channels in a single pass.
+        self._luts_share_Y = (
+            len(self.luts) >= 2
+            and np.array_equal(np.asarray(self.luts[0]["Y_log"]),
+                               np.asarray(self.luts[1]["Y_log"]))
+            and np.array_equal(np.asarray(self.luts[0]["Y"]),
+                               np.asarray(self.luts[1]["Y"])))
 
         # Static per-band foveation maps (resolution magnification does not
         # depend on gaze; eccentricity does and is computed in-graph).
@@ -283,6 +291,19 @@ class MetricCore:
             if fused_ok:
                 from fovvideovdp_tpu.ops.pallas import band_score as bs
                 if bs.supports(band.shape[-2], band.shape[-1]):
+                    inv_norm = float(npix) ** (1.0 / p["beta"])
+                    if temp_ch == 2 and self._luts_share_Y:
+                        # both channels share L_bkg, so one kernel computes
+                        # the hat weights once and scores both
+                        ssum2 = bs.band_score2_pallas(
+                            band, L_bkg,
+                            np.stack(self._band_tables[bb][:2]),
+                            self.luts[0], p["mask_p"], p["mask_q_sust"],
+                            p["mask_q_trans"], p["mask_c"], sens_corr,
+                            p["beta"])          # (F, 2)
+                        Q_rows.append(jnp.transpose(
+                            jnp.power(ssum2, 1.0 / p["beta"]) / inv_norm))
+                        continue
                     for cc in range(temp_ch):
                         ssum = bs.band_score_pallas(
                             band[:, cc * 2], band[:, cc * 2 + 1], L_bkg,
@@ -291,7 +312,7 @@ class MetricCore:
                             (p["mask_q_sust"], p["mask_q_trans"])[cc],
                             p["mask_c"], sens_corr, p["beta"])
                         Q_cc.append(jnp.power(ssum, 1.0 / p["beta"])
-                                    / (float(npix) ** (1.0 / p["beta"])))
+                                    / inv_norm)
                     while len(Q_cc) < 2:
                         Q_cc.append(jnp.zeros((F,), dtype=R.dtype))
                     Q_rows.append(jnp.stack(Q_cc, axis=0))
@@ -448,24 +469,21 @@ class MetricCore:
         key = ("video", filt.shape[1], self.foveated, self.heatmap,
                filt.tobytes(), tables is not None)
         if key not in self._fn_cache:
-            F_filt = jnp.asarray(filt)
+            filt_np = np.asarray(filt, dtype=np.float32)
             gaze_in_sig = self.foveated and tables is None
 
             if tables is not None:
                 def fn(padded_t, padded_r, tabs):
-                    Rt = temporal_ops.apply_temporal_filters(padded_t, F_filt)
-                    Rr = temporal_ops.apply_temporal_filters(padded_r, F_filt)
-                    R = jnp.stack([Rt[:, 0], Rr[:, 0], Rt[:, 1], Rr[:, 1]],
-                                  axis=1)
+                    # (F, 4, H, W): T-sust, R-sust, T-trans, R-trans
+                    R = temporal_ops.temporal_channels(padded_t, padded_r,
+                                                       filt_np)
                     return self.score_frames(R, None, temp_ch=2,
                                              fov_tables=tabs)
             else:
                 def fn(padded_t, padded_r, *maybe_gaze):
-                    Rt = temporal_ops.apply_temporal_filters(padded_t, F_filt)
-                    Rr = temporal_ops.apply_temporal_filters(padded_r, F_filt)
                     # order: T-sust, R-sust, T-trans, R-trans (fvvdp.py:293)
-                    R = jnp.stack([Rt[:, 0], Rr[:, 0], Rt[:, 1], Rr[:, 1]],
-                                  axis=1)
+                    R = temporal_ops.temporal_channels(padded_t, padded_r,
+                                                       filt_np)
                     gaze = maybe_gaze[0] if gaze_in_sig else None
                     return self.score_frames(R, gaze, temp_ch=2)
 

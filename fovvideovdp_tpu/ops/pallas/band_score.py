@@ -62,6 +62,37 @@ def supports(h: int, w: int) -> bool:
     return w >= 128 and h >= 8
 
 
+def _band_score2_kernel(tabs_ref, Ts_ref, Rs_ref, Tt_ref, Rt_ref, L_ref,
+                        out_ref, *, y0, dy, Ymin, Ymax, p, q_s, q_t, c10,
+                        corr, beta, n_grid):
+    """Both temporal channels in one pass: the LUT coordinate u and the 32
+    hat weights depend only on L_bkg, which the channels share — computing
+    them once halves the dominant VPU cost of the stage (and L is read from
+    HBM once instead of twice)."""
+    f = pl.program_id(0)
+    rt = pl.program_id(1)
+    L = L_ref[0]
+
+    u = (jnp.log2(jnp.clip(L, Ymin, Ymax)) - y0) / dy
+    u = jnp.clip(u, 0.0, float(n_grid - 1))
+    s_s = jnp.zeros_like(u)
+    s_t = jnp.zeros_like(u)
+    for i in range(n_grid):
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(u - float(i)))
+        s_s = s_s + tabs_ref[0, i] * w
+        s_t = s_t + tabs_ref[1, i] * w
+
+    for c, (T_ref, R_ref, s_log, q) in enumerate(
+            ((Ts_ref, Rs_ref, s_s, q_s), (Tt_ref, Rt_ref, s_t, q_t))):
+        Se = jnp.exp2(s_log) * corr
+        Tn = T_ref[0] * Se
+        Rn = R_ref[0] * Se
+        M = c10 * jnp.minimum(jnp.abs(Tn), jnp.abs(Rn))
+        D = jnp.power(jnp.abs(Tn - Rn), p) / (1.0 + jnp.power(M, q))
+        D = jnp.minimum(D, 1e4)
+        out_ref[f, rt, c] = jnp.sum(jnp.power(D, beta))
+
+
 @functools.partial(jax.jit, static_argnames=(
     "y0", "dy", "Ymin", "Ymax", "p", "q", "c10", "corr", "beta", "interpret"))
 def _band_score_call(T, R, L, table, y0, dy, Ymin, Ymax, p, q, c10, corr, beta,
@@ -99,6 +130,94 @@ def _band_score_call(T, R, L, table, y0, dy, Ymin, Ymax, p, q, c10, corr, beta,
         interpret=interpret,
     )(table[None, :], T, R, L)
     return jnp.sum(partials, axis=1)  # (F,) sums of D^beta
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "y0", "dy", "Ymin", "Ymax", "p", "q_s", "q_t", "c10", "corr", "beta",
+    "interpret"))
+def _band_score2_call(Ts, Rs, Tt, Rt, L, tables, y0, dy, Ymin, Ymax, p, q_s,
+                      q_t, c10, corr, beta, interpret=False):
+    F, h, w = Ts.shape
+    TR = min(_TR, max(8, h))
+    n_tiles = ceildiv(h, TR)
+    hp = n_tiles * TR
+    wp = ceildiv(w, 128) * 128
+    if hp != h or wp != w:
+        pad = ((0, 0), (0, hp - h), (0, wp - w))
+        Ts, Rs = jnp.pad(Ts, pad), jnp.pad(Rs, pad)
+        Tt, Rt = jnp.pad(Tt, pad), jnp.pad(Rt, pad)
+        L = jnp.pad(L, pad, constant_values=1.0)
+
+    n_grid = tables.shape[1]
+    band_spec = pl.BlockSpec((1, TR, wp), lambda f, t: (f, t, 0),
+                             memory_space=pltpu.VMEM)
+    partials = pl.pallas_call(
+        functools.partial(_band_score2_kernel, y0=y0, dy=dy, Ymin=Ymin,
+                          Ymax=Ymax, p=p, q_s=q_s, q_t=q_t, c10=c10,
+                          corr=corr, beta=beta, n_grid=n_grid),
+        grid=(F, n_tiles),
+        in_specs=[pl.BlockSpec((2, n_grid), lambda f, t: (0, 0),
+                               memory_space=pltpu.VMEM)] + [band_spec] * 5,
+        out_specs=pl.BlockSpec((F, n_tiles, 2), lambda f, t: (0, 0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((F, n_tiles, 2), Ts.dtype),
+        interpret=interpret,
+    )(tables, Ts, Rs, Tt, Rt, L)
+    return jnp.sum(partials, axis=1)  # (F, 2) sums of D^beta
+
+
+def _band_score2_jnp(Ts, Rs, Tt, Rt, L, tables, meta2):
+    y0, dy, Ymin, Ymax, p, q_s, q_t, c10, corr, beta = meta2
+    out_s = _band_score_jnp(Ts, Rs, L, tables[0],
+                            (y0, dy, Ymin, Ymax, p, q_s, c10, corr, beta))
+    out_t = _band_score_jnp(Tt, Rt, L, tables[1],
+                            (y0, dy, Ymin, Ymax, p, q_t, c10, corr, beta))
+    return jnp.stack([out_s, out_t], axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _band_score2(Ts, Rs, Tt, Rt, L, tables, meta2):
+    from fovvideovdp_tpu.ops import pallas as pallas_cfg
+    y0, dy, Ymin, Ymax, p, q_s, q_t, c10, corr, beta = meta2
+    return _band_score2_call(Ts, Rs, Tt, Rt, L, tables, y0=y0, dy=dy,
+                             Ymin=Ymin, Ymax=Ymax, p=p, q_s=q_s, q_t=q_t,
+                             c10=c10, corr=corr, beta=beta,
+                             interpret=pallas_cfg.interpret_mode())
+
+
+def _bs2_fwd(Ts, Rs, Tt, Rt, L, tables, meta2):
+    return _band_score2(Ts, Rs, Tt, Rt, L, tables, meta2), \
+        (Ts, Rs, Tt, Rt, L, tables)
+
+
+def _bs2_bwd(meta2, res, g):
+    Ts, Rs, Tt, Rt, L, tables = res
+    _, vjp = jax.vjp(
+        lambda a, b, c, d, e, t: _band_score2_jnp(a, b, c, d, e, t, meta2),
+        Ts, Rs, Tt, Rt, L, tables)
+    return vjp(g)
+
+
+_band_score2.defvjp(_bs2_fwd, _bs2_bwd)
+
+
+def band_score2_pallas(band, L_bkg, tables, lut, p, q_sust, q_trans, mask_c,
+                       sens_corr, beta):
+    """Fused scoring of BOTH temporal channels of one band.
+
+    band: (F, 4, h, w) contrast stack [T-sust, R-sust, T-trans, R-trans];
+    tables: (2, n) pre-reduced S_log(Y_log) tables (sustained, transient —
+    both LUTs must share the Y grid; the shipped calibration pair does).
+    Returns (F, 2) per-frame sums of D^beta."""
+    Y_log = np.asarray(lut["Y_log"])
+    Y = np.asarray(lut["Y"])
+    meta2 = (float(Y_log[0]),
+             float((Y_log[-1] - Y_log[0]) / (Y_log.shape[0] - 1)),
+             float(Y[0]), float(Y[-1]),
+             float(p), float(q_sust), float(q_trans),
+             float(10.0 ** mask_c), float(sens_corr), float(beta))
+    return _band_score2(band[:, 0], band[:, 1], band[:, 2], band[:, 3],
+                        L_bkg, jnp.asarray(tables), meta2)
 
 
 def _band_score_jnp(T, R, L, table, meta):

@@ -1,0 +1,123 @@
+"""Fused temporal-channel filtering (Pallas TPU kernel).
+
+Computes the sustained + transient temporal responses of BOTH the test and
+reference streams in one VMEM pass:
+
+    out[f, 0] = sum_j F[0, j] * t[f + fl-1 - j]     (test, sustained)
+    out[f, 1] = sum_j F[0, j] * r[f + fl-1 - j]     (reference, sustained)
+    out[f, 2] = sum_j F[1, j] * t[f + fl-1 - j]     (test, transient)
+    out[f, 3] = sum_j F[1, j] * r[f + fl-1 - j]     (reference, transient)
+
+The windows of consecutive output frames overlap by fl-1 frames, so the XLA
+shifted-slice formulation re-reads the (F_in, H, W) block from HBM once per
+tap; here each input row tile is DMA'd into VMEM exactly once and all
+F_out x 4 outputs are produced from it with unrolled multiply-adds on the
+VPU.  Filter taps are trace-time constants baked into the kernel.
+
+Reference semantics: pyfvvdp/fvvdp.py:294-300 (the per-frame sliding-window
+sum), blockwise as in ops/temporal.py.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fovvideovdp_tpu.ops.pyramid import ceildiv
+
+_VMEM_BUDGET = 8 << 20  # input+output tile bytes per program
+
+
+def _temporal_kernel(t_ref, r_ref, out_ref, *, taps, n_out):
+    fl = len(taps[0])
+    for f in range(n_out):
+        for c in range(2):
+            acc_t = None
+            acc_r = None
+            for j in range(fl):
+                w = taps[c][j]
+                if w == 0.0:
+                    continue
+                src = f + fl - 1 - j
+                tt = w * t_ref[src]
+                rr = w * r_ref[src]
+                acc_t = tt if acc_t is None else acc_t + tt
+                acc_r = rr if acc_r is None else acc_r + rr
+            out_ref[f, 2 * c] = acc_t
+            out_ref[f, 2 * c + 1] = acc_r
+
+
+@functools.partial(jax.jit, static_argnames=("taps", "interpret"))
+def _temporal_call(padded_t, padded_r, taps, interpret=False):
+    n_in, H, W = padded_t.shape
+    fl = len(taps[0])
+    n_out = n_in - fl + 1
+
+    Wp = ceildiv(W, 128) * 128
+    # row-tile size bounded by the VMEM budget across in+out blocks
+    bytes_per_row = (2 * n_in + 4 * n_out) * Wp * 4
+    TR = max(8, min(256, (_VMEM_BUDGET // max(bytes_per_row, 1)) // 8 * 8))
+    n_tiles = ceildiv(H, TR)
+    Hp = n_tiles * TR
+    if Hp != H or Wp != W:
+        pad = ((0, 0), (0, Hp - H), (0, Wp - W))
+        padded_t = jnp.pad(padded_t, pad)
+        padded_r = jnp.pad(padded_r, pad)
+
+    out = pl.pallas_call(
+        functools.partial(_temporal_kernel, taps=taps, n_out=n_out),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((n_in, TR, Wp), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_in, TR, Wp), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n_out, 4, TR, Wp), lambda i: (0, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_out, 4, Hp, Wp), padded_t.dtype),
+        interpret=interpret,
+    )(padded_t, padded_r)
+    return out[:, :, :H, :W]
+
+
+def _temporal_jnp(padded_t, padded_r, taps):
+    from fovvideovdp_tpu.ops.temporal import apply_temporal_filters
+    F = jnp.asarray(np.asarray(taps, dtype=np.float32))
+    Rt = apply_temporal_filters(padded_t, F)
+    Rr = apply_temporal_filters(padded_r, F)
+    return jnp.stack([Rt[:, 0], Rr[:, 0], Rt[:, 1], Rr[:, 1]], axis=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _temporal(padded_t, padded_r, taps):
+    from fovvideovdp_tpu.ops import pallas as pallas_cfg
+    return _temporal_call(padded_t, padded_r, taps,
+                          interpret=pallas_cfg.interpret_mode())
+
+
+def _t_fwd(padded_t, padded_r, taps):
+    return _temporal(padded_t, padded_r, taps), (padded_t, padded_r)
+
+
+def _t_bwd(taps, res, g):
+    padded_t, padded_r = res
+    _, vjp = jax.vjp(lambda a, b: _temporal_jnp(a, b, taps),
+                     padded_t, padded_r)
+    return vjp(g)
+
+
+_temporal.defvjp(_t_fwd, _t_bwd)
+
+
+def temporal_channels_pallas(padded_t, padded_r, F: np.ndarray):
+    """(F_in, H, W) x2 -> (F_out, 4, H, W) [T-sust, R-sust, T-trans, R-trans].
+
+    Differentiable (jnp gradient rule); numerics match apply_temporal_filters
+    up to summation association."""
+    taps = tuple(tuple(float(x) for x in row) for row in np.asarray(F))
+    return _temporal(padded_t, padded_r, taps)

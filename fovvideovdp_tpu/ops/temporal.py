@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import List
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -71,6 +72,13 @@ def apply_temporal_filters(padded: jnp.ndarray, F: jnp.ndarray) -> jnp.ndarray:
 
     padded: (F_out + fl - 1, ...) frames; F: (n_ch, fl) filters.
     Returns (F_out, n_ch, ...): out[f, c] = sum_j F[c, j] * padded[f + fl-1 - j].
+
+    This is the portable jnp formulation (shifted-slice multiply-adds) and
+    the gradient rule; the hot path goes through :func:`temporal_channels`,
+    which fuses both streams into one VMEM-resident Pallas kernel.  (A
+    matmul against a banded tap matrix was tried and is SLOWER: fp32 MXU
+    matmuls decompose into multiple bf16 passes, re-reading the frame block
+    from HBM each pass.)
     """
     fl = F.shape[1]
     n_out = padded.shape[0] - fl + 1
@@ -82,3 +90,25 @@ def apply_temporal_filters(padded: jnp.ndarray, F: jnp.ndarray) -> jnp.ndarray:
             acc = term if acc is None else acc + term
         outs.append(acc)
     return jnp.stack(outs, axis=1)
+
+
+def temporal_channels(padded_t: jnp.ndarray, padded_r: jnp.ndarray,
+                      F: np.ndarray) -> jnp.ndarray:
+    """Temporal channels for a test/reference pair in one pass.
+
+    padded_t/padded_r: (F_out + fl - 1, H, W); F: (2, fl) numpy filters.
+    Returns (F_out, 4, H, W) ordered [T-sust, R-sust, T-trans, R-trans]
+    (pyfvvdp/fvvdp.py:293).  On TPU both streams and all taps run in one
+    VMEM-resident Pallas kernel (each input tile is read from HBM exactly
+    once); elsewhere it falls back to the jnp formulation above.
+    """
+    from fovvideovdp_tpu.ops import pallas as pallas_cfg
+    F = np.asarray(F, dtype=np.float32)
+    if (pallas_cfg.use_pallas() and padded_t.ndim == 3
+            and padded_t.dtype == jnp.float32 and F.shape[0] == 2
+            and padded_t.shape[0] > F.shape[1] - 1):
+        from fovvideovdp_tpu.ops.pallas.temporal import temporal_channels_pallas
+        return temporal_channels_pallas(padded_t, padded_r, F)
+    Rt = apply_temporal_filters(padded_t, jnp.asarray(F))
+    Rr = apply_temporal_filters(padded_r, jnp.asarray(F))
+    return jnp.stack([Rt[:, 0], Rr[:, 0], Rt[:, 1], Rr[:, 1]], axis=1)

@@ -86,10 +86,22 @@ def _decode_raw(x: jnp.ndarray) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnames=("dm", "rgb2y"))
 def _frames_to_luminance(frames, dm, rgb2y):
     """(n, C, H, W) raw frames -> (n, H, W) absolute luminance."""
-    L = dm.forward(_decode_raw(frames))
-    if L.shape[1] == 3:
-        return L[:, 0] * rgb2y[0] + L[:, 1] * rgb2y[1] + L[:, 2] * rgb2y[2]
-    return L[:, 0]
+    return _luminance_cfirst(frames.transpose(1, 0, 2, 3), dm, rgb2y)
+
+
+def _luminance_cfirst(blk, dm, rgb2y):
+    """(C, n, H, W) raw frames -> (n, H, W) absolute luminance.
+
+    Channel-first so block slices from the device-resident (C, F, H, W)
+    video need no layout change: the EOTF is elementwise and the RGB2Y
+    weighted sum contracts axis 0 — per-channel, so only one channel's fp32
+    intermediate is live at a time instead of a transposed full-RGB copy.
+    """
+    if blk.shape[0] == 3:
+        L = dm.forward(_decode_raw(blk[0])) * rgb2y[0]
+        L = L + dm.forward(_decode_raw(blk[1])) * rgb2y[1]
+        return L + dm.forward(_decode_raw(blk[2])) * rgb2y[2]
+    return dm.forward(_decode_raw(blk[0]))
 
 
 @functools.partial(jax.jit, static_argnames=("count", "dm", "rgb2y"))
@@ -98,13 +110,13 @@ def _slice_block_luminance(video, start, count, dm, rgb2y):
     C = video.shape[0]
     blk = jax.lax.dynamic_slice(video, (0, start, 0, 0),
                                 (C, count) + video.shape[2:])
-    return _frames_to_luminance(blk.transpose(1, 0, 2, 3), dm, rgb2y)
+    return _luminance_cfirst(blk, dm, rgb2y)
 
 
 @functools.partial(jax.jit, static_argnames=("dm", "rgb2y"))
 def _gather_block_luminance(video, idx, dm, rgb2y):
     blk = jnp.take(video, idx, axis=1)  # (C, n, H, W)
-    return _frames_to_luminance(blk.transpose(1, 0, 2, 3), dm, rgb2y)
+    return _luminance_cfirst(blk, dm, rgb2y)
 
 
 _UPLOAD_CHUNK_BYTES = 16 << 20

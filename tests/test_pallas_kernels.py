@@ -63,6 +63,78 @@ def test_pallas_band_score_matches_jnp():
     np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
+def test_pallas_band_score2_matches_jnp():
+    """Two-channel fused scorer == two single-channel jnp evaluations."""
+    dev = _tpu_device()
+    from fovvideovdp_tpu.ops.pallas import band_score as bs
+    import __graft_entry__ as ge
+    core = ge._make_core(256, 160)
+    p = core.params
+    rng = np.random.RandomState(3)
+    band = jax.device_put(
+        jnp.asarray(rng.randn(3, 4, 160, 256).astype(np.float32)), dev)
+    L = jax.device_put(jnp.asarray(
+        (rng.rand(3, 160, 256) * 300 + 0.5).astype(np.float32)), dev)
+    corr = 10.0 ** (p["sensitivity_correction"] / 20)
+    tabs = np.stack(core._band_tables[0][:2])
+    got = np.asarray(bs.band_score2_pallas(
+        band, L, tabs, core.luts[0], p["mask_p"], p["mask_q_sust"],
+        p["mask_q_trans"], p["mask_c"], corr, p["beta"]))
+    Y_log = np.asarray(core.luts[0]["Y_log"])
+    Y = np.asarray(core.luts[0]["Y"])
+    base = (float(Y_log[0]), float((Y_log[-1] - Y_log[0]) / 31),
+            float(Y[0]), float(Y[-1]), float(p["mask_p"]))
+    tail = (float(10.0 ** p["mask_c"]), float(corr), float(p["beta"]))
+    want_s = np.asarray(bs._band_score_jnp(
+        band[:, 0], band[:, 1], L, jnp.asarray(tabs[0]),
+        base + (float(p["mask_q_sust"]),) + tail))
+    want_t = np.asarray(bs._band_score_jnp(
+        band[:, 2], band[:, 3], L, jnp.asarray(tabs[1]),
+        base + (float(p["mask_q_trans"]),) + tail))
+    np.testing.assert_allclose(got, np.stack([want_s, want_t], -1), rtol=1e-5)
+
+
+def test_pallas_temporal_matches_jnp():
+    dev = _tpu_device()
+    from fovvideovdp_tpu.ops import temporal as t
+    from fovvideovdp_tpu.ops.pallas.temporal import temporal_channels_pallas
+    rng = np.random.RandomState(0)
+    F = t.temporal_filters(30.0, 8)
+    pt = jax.device_put(
+        jnp.asarray(rng.rand(13, 171, 300).astype(np.float32) * 120), dev)
+    pr = jax.device_put(
+        jnp.asarray(rng.rand(13, 171, 300).astype(np.float32) * 120), dev)
+    got = np.asarray(temporal_channels_pallas(pt, pr, F))
+    Rt = t.apply_temporal_filters(pt, jnp.asarray(F))
+    Rr = t.apply_temporal_filters(pr, jnp.asarray(F))
+    want = np.asarray(jnp.stack([Rt[:, 0], Rr[:, 0], Rt[:, 1], Rr[:, 1]],
+                                axis=1))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-5)
+
+
+def test_pallas_temporal_gradient():
+    dev = _tpu_device()
+    from fovvideovdp_tpu.ops import pallas as pallas_cfg
+    from fovvideovdp_tpu.ops import temporal as t
+    rng = np.random.RandomState(2)
+    F = t.temporal_filters(30.0, 8)
+    pt = jax.device_put(
+        jnp.asarray(rng.rand(10, 64, 256).astype(np.float32) * 50), dev)
+    pr = jax.device_put(
+        jnp.asarray(rng.rand(10, 64, 256).astype(np.float32) * 50), dev)
+
+    def loss(a, b):
+        return jnp.sum(t.temporal_channels(a, b, F) ** 2)
+
+    with pallas_cfg.forced(True):
+        g1 = jax.grad(loss, argnums=(0, 1))(pt, pr)
+    with pallas_cfg.forced(False):
+        g2 = jax.grad(loss, argnums=(0, 1))(pt, pr)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5)
+
+
 def test_pallas_dispatch_gradient():
     """The custom-VJP wrapper must produce the same gradient as the jnp path."""
     dev = _tpu_device()
