@@ -135,6 +135,34 @@ class MetricCore:
         return self._fov_table_cache[key]
 
     # -- local adaptation / contrast variants --------------------------------
+    def _score_frames_fused(self, R: jnp.ndarray, sens_corr: float
+                            ) -> jnp.ndarray:
+        """Default-path scorer with the per-level fused pipeline kernel.
+
+        Decomposes R (F, 4, H, W) into its Gaussian pyramid (Pallas reduce
+        chain) and scores each band with ops/pallas/band_pipeline.py — the
+        per-band gain folds into the sensitivity correction (everything
+        between the contrast and the absolute values is linear in it).
+        Returns Q_per_ch (n_bands, 2, F)."""
+        from fovvideovdp_tpu.ops.pallas import band_pipeline as bp
+        p = self.params
+        plan = self.plan
+        n_bands = plan.get_band_count()
+        gpyr = plan.gaussian_pyramid(R)
+        Q_rows = []
+        for bb in range(plan.height):
+            gain = plan.band_gain(bb, n_bands)
+            h, w = plan.level_shapes[bb]
+            inv_norm = float(h * w) ** (1.0 / p["beta"])
+            ssum2 = bp.expand_score2(
+                gpyr[bb], gpyr[bb + 1], np.stack(self._band_tables[bb][:2]),
+                self.luts[0], p["mask_p"], p["mask_q_sust"],
+                p["mask_q_trans"], p["mask_c"], sens_corr * gain,
+                p["beta"])                      # (F, 2)
+            Q_rows.append(jnp.transpose(
+                jnp.power(ssum2, 1.0 / p["beta"]) / inv_norm))
+        return jnp.stack(Q_rows, axis=0)        # (n_bands, 2, F)
+
     def _decompose_with_adaptation(self, R: jnp.ndarray):
         """Pyramid decomposition + background-luminance computation.
 
@@ -233,26 +261,36 @@ class MetricCore:
         sens_corr = 10.0 ** (p["sensitivity_correction"] / 20.0)
         w_temp_ch = (1.0, p["w_transient"])
 
+        # Fully-fused default path: the whole per-band pipeline (Gaussian
+        # expand, Weber contrast, CSF, masking, beta-norm partials) runs as
+        # ONE Pallas kernel per level directly on the Gaussian pyramid —
+        # contrast bands and L_bkg never touch HBM.
+        from fovvideovdp_tpu.ops import pallas as pallas_cfg
+        fused_common = (not self.foveated and not self.do_heatmap
+                        and self.contrast != "log"
+                        and self.masking_model == "min_mutual_masking_perc_norm2"
+                        and float(p.get("pu_dilate", 0.0)) == 0.0
+                        # the Pallas kernels' LUT coordinate is index
+                        # arithmetic, valid only for Y grids uniform in log2
+                        and all(csf_mod._axis_uniform(l, "Y_log")
+                                for l in self.luts)
+                        and not self.ignore_boundary_pixels
+                        and self.band_callback is None
+                        and R.dtype == jnp.float32 and pallas_cfg.use_pallas())
+        if (fused_common and temp_ch == 2 and self._luts_share_Y
+                and self.local_adapt == "gpyr"):
+            return self._score_frames_fused(R, sens_corr), None
+
         bands, L_bkg_list, is_contrast = self._decompose_with_adaptation(R)
 
         use_static_fov = self.foveated and fov_tables is not None
         gaze_dir = self._gaze_directions(gaze) \
             if self.foveated and not use_static_fov else None
 
-        # Fully fused CSF+masking+norm Pallas path for the default
-        # configuration (per band/channel, one VMEM pass, no HBM
-        # intermediates); everything else uses the jnp composition below.
-        from fovvideovdp_tpu.ops import pallas as pallas_cfg
-        fused_ok = (not self.foveated and not self.do_heatmap
-                    and is_contrast and self.contrast != "log"
-                    and self.masking_model == "min_mutual_masking_perc_norm2"
-                    and float(p.get("pu_dilate", 0.0)) == 0.0
-                    # the Pallas kernel's LUT coordinate is index arithmetic,
-                    # valid only for Y grids uniform in log2 space
-                    and all(csf_mod._axis_uniform(l, "Y_log") for l in self.luts)
-                    and not self.ignore_boundary_pixels
-                    and self.band_callback is None
-                    and R.dtype == jnp.float32 and pallas_cfg.use_pallas())
+        # Fused CSF+masking+norm Pallas path for the default configuration
+        # (per band/channel, one VMEM pass, no HBM intermediates); everything
+        # else uses the jnp composition below.
+        fused_ok = fused_common and is_contrast
 
         Q_rows = []
         heat_bands: List[jnp.ndarray] = []

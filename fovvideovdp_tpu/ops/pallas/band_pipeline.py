@@ -1,0 +1,280 @@
+"""Fully-fused contrast-pyramid-level scorer (Pallas TPU kernel).
+
+One VMEM pass per row-tile of the fine level computes the ENTIRE per-band
+pipeline for both temporal channels and writes only per-tile partial sums —
+the contrast band and L_bkg never touch HBM:
+
+    expanded = gausspyr_expand(g_coarse)            # zero-interleave + 5-tap
+    L_bkg    = clamp(expanded[bkg_ch], min=0.1)
+    contrast = clamp((g_fine - expanded) / L_bkg, max=1000)
+    u        = (log2(clip(L_bkg)) - y0) / dy        # uniform LUT coordinate
+    S_c      = 2^interp(table_c, u) * corr          # per temporal channel
+    D_c      = min(|T'-R'|^p / (1 + M^q_c), 1e4)    # masking (T'=T*S etc.)
+    out[c]   = sum over valid pixels of D_c^beta
+
+This replaces the expand+contrast kernel (ops/pallas/expand.py) followed by
+the band scorer (ops/pallas/band_score.py) on the default metric path,
+saving the HBM write + re-read of the 4-channel contrast stack and L_bkg
+per level (~4 GB per 4K block), plus one XLA pre-pad copy of the fine level.
+
+Kernel shape choices (measured on v5e):
+* Adaptive row-tile height (TRO up to 64) raises the matmuls' M dimension.
+* Work streams through 256-column strips with running scalar accumulators,
+  keeping live intermediates ~one strip wide (VMEM fits TRO=64).
+  (A channel-stacked single-matmul variant with edge terms folded into
+  per-tile constant matrices measured ~10% SLOWER — rejected.)
+
+Semantics: pyfvvdp/fvvdp_lpyr_dec.py:246-273 (fused contrast pyramid) +
+pyfvvdp/fvvdp.py:414-460 (CSF normalisation, mutual masking, beta pooling),
+with the per-band gain folded into ``corr`` (everything downstream of the
+contrast is linear in it until the absolute values).
+
+Only used on the default path (non-foveated, no heatmap, both temporal
+channels, shared-Y LUTs); the jnp composition is the fallback and gradient
+rule, so ``jax.grad`` works through it.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fovvideovdp_tpu.ops.pyramid import (K5, ceildiv, _expand_contrast_jnp)
+from fovvideovdp_tpu.ops.pallas.expand import _banded_expand
+from fovvideovdp_tpu.ops.pallas.band_score import _band_score2_jnp
+
+_CBO = 256  # fine cols per horizontal matmul block
+_PREC = jax.lax.Precision.HIGHEST
+_C = 4      # temporal-response channels [T-sust, R-sust, T-trans, R-trans]
+
+
+def _pick_tro(H: int) -> int:
+    """Fine rows per program: taller tiles raise the matmuls' M dimension
+    (MXU utilisation) — worth it as soon as the level has the rows."""
+    for tro in (64, 32):
+        if H >= 2 * tro:
+            return tro
+    return 16
+
+
+def _expand_score_kernel(Bv_ref, Mh_ref, tabs_ref, coarse_hbm, fine_ref,
+                         out_ref, scratch, sem,
+                         *, H, W, h2, w2, Wp, TRO, bkg_ch, y0, dy, Ymin,
+                         Ymax, p, q_s, q_t, c10, corr, beta, n_grid):
+    """Grid (F, ceil(H/TRO)); fine block (1, 4, TRO, Wp); out SMEM
+    (F, n_tiles, 2) partial sums of D^beta."""
+    f = pl.program_id(0)
+    rt = pl.program_id(1)
+    w2in = Wp // 2 + 128
+    n_in = TRO // 2 + 8
+
+    cp = pltpu.make_async_copy(
+        coarse_hbm.at[f, :, pl.ds((TRO // 2) * rt, n_in), :],
+        scratch.at[:, :, :], sem)
+    cp.start()
+    cp.wait()
+
+    # vertical Gaussian expand of all four channels
+    # (ops/pallas/expand.py math; v planes are (TRO, w2in) — small)
+    vs = []
+    for ch in range(_C):
+        v = jnp.dot(Bv_ref[:, :], scratch[ch],
+                    preferred_element_type=jnp.float32, precision=_PREC)
+        row_g = TRO * rt + jax.lax.broadcasted_iota(jnp.int32, (TRO, w2in), 0)
+        x0 = scratch[ch][1, :]
+        v = jnp.where(jnp.logical_and(rt == 0, row_g == 0),
+                      v + 2.0 * K5[0] * x0[None, :], v)
+        i_last = h2 - (TRO // 2) * rt
+        in_rng = jnp.logical_and(i_last >= 0, i_last < n_in)
+        xl_row = scratch[ch, pl.ds(jnp.clip(i_last, 0, n_in - 1), 1), :]
+        xl = jnp.where(in_rng, xl_row[0], jnp.zeros((w2in,), v.dtype))
+        if H % 2 == 0:
+            v = jnp.where(row_g == H - 1, v + 2.0 * K5[3] * xl[None, :], v)
+            v = jnp.where(row_g == H - 2, v + 2.0 * K5[4] * xl[None, :], v)
+        else:
+            v = jnp.where(row_g == H - 1, v + 2.0 * K5[4] * xl[None, :], v)
+        vs.append(v)
+
+    # per 256-column strip: horizontal expand, contrast, CSF, masking,
+    # beta partials — live intermediates stay one strip wide
+    row_v = TRO * rt + jax.lax.broadcasted_iota(jnp.int32, (TRO, _CBO), 0)
+    col_l = jax.lax.broadcasted_iota(jnp.int32, (TRO, _CBO), 1)
+    acc_s = jnp.zeros((), jnp.float32)
+    acc_t = jnp.zeros((), jnp.float32)
+    for b in range(Wp // _CBO):
+        col_g = col_l + b * _CBO
+        es = []
+        for ch in range(_C):
+            v = vs[ch]
+            v_blk = jax.lax.slice(v, (0, (_CBO // 2) * b),
+                                  (TRO, (_CBO // 2) * b + _CBO // 2 + 2))
+            e = jnp.dot(v_blk, Mh_ref[:, :],
+                        preferred_element_type=jnp.float32, precision=_PREC)
+            # horizontal interleave edge terms (padded col q = x col q-1)
+            if b == 0:
+                e = jnp.where(col_g == 0, e + 2.0 * K5[0] * v[:, 1:2], e)
+            if (b + 1) * _CBO > W - 2:
+                vlast = v[:, w2:w2 + 1]
+                if W % 2 == 0:
+                    e = jnp.where(col_g == W - 1, e + 2.0 * K5[3] * vlast, e)
+                    e = jnp.where(col_g == W - 2, e + 2.0 * K5[4] * vlast, e)
+                else:
+                    e = jnp.where(col_g == W - 1, e + 2.0 * K5[4] * vlast, e)
+            es.append(e)
+
+        lbkg = jnp.maximum(es[bkg_ch], 0.1)
+        fine = fine_ref[0, :, :, b * _CBO:(b + 1) * _CBO]
+        con = [jnp.minimum((fine[ch] - es[ch]) / lbkg, 1000.0)
+               for ch in range(_C)]
+
+        u = (jnp.log2(jnp.clip(lbkg, Ymin, Ymax)) - y0) / dy
+        u = jnp.clip(u, 0.0, float(n_grid - 1))
+        s_s = jnp.zeros_like(u)
+        s_t = jnp.zeros_like(u)
+        for i in range(n_grid):
+            w = jnp.maximum(0.0, 1.0 - jnp.abs(u - float(i)))
+            s_s = s_s + tabs_ref[0, i] * w
+            s_t = s_t + tabs_ref[1, i] * w
+
+        # padded row/col fringe must not contribute to the norm
+        valid = jnp.logical_and(row_v < H, col_g < W)
+        for T, R, s_log, q, is_t in ((con[0], con[1], s_s, q_s, False),
+                                     (con[2], con[3], s_t, q_t, True)):
+            Se = jnp.exp2(s_log) * corr
+            Tn = T * Se
+            Rn = R * Se
+            M = c10 * jnp.minimum(jnp.abs(Tn), jnp.abs(Rn))
+            D = jnp.power(jnp.abs(Tn - Rn), p) / (1.0 + jnp.power(M, q))
+            D = jnp.where(valid, jnp.minimum(D, 1e4), 0.0)
+            part = jnp.sum(jnp.power(D, beta))
+            if is_t:
+                acc_t = acc_t + part
+            else:
+                acc_s = acc_s + part
+
+    out_ref[f, rt, 0] = acc_s
+    out_ref[f, rt, 1] = acc_t
+
+
+def supports(H: int, W: int) -> bool:
+    from fovvideovdp_tpu.ops.pallas import expand as pallas_expand
+    return pallas_expand.supports(H, W)
+
+
+@functools.partial(jax.jit, static_argnames=("bkg_channel", "meta2",
+                                              "interpret"))
+def _expand_score2_call(g_fine, g_coarse, tables, bkg_channel, meta2,
+                        interpret=False):
+    y0, dy, Ymin, Ymax, p, q_s, q_t, c10, corr, beta = meta2
+    F, C, H, W = g_fine.shape
+    h2, w2 = g_coarse.shape[-2], g_coarse.shape[-1]
+    TRO = _pick_tro(H)
+    n_in = TRO // 2 + 8
+    n_tiles = ceildiv(H, TRO)
+    Wp = ceildiv(W, _CBO) * _CBO
+    w2in = Wp // 2 + 128
+
+    rows_needed = (TRO // 2) * (n_tiles - 1) + n_in
+    cpad = jnp.pad(g_coarse, ((0, 0), (0, 0),
+                              (1, max(rows_needed - h2 - 1, 0)),
+                              (1, w2in - w2 - 1)))
+    Hp = n_tiles * TRO
+    fpad = g_fine if (Hp == H and Wp == W) else jnp.pad(
+        g_fine, ((0, 0), (0, 0), (0, Hp - H), (0, Wp - W)))
+
+    Bv = jnp.asarray(_banded_expand(n_in, TRO).T)
+    Mh = jnp.asarray(_banded_expand(_CBO // 2 + 2, _CBO))
+
+    n_grid = tables.shape[1]
+    partials = pl.pallas_call(
+        functools.partial(_expand_score_kernel, H=H, W=W, h2=h2, w2=w2,
+                          Wp=Wp, TRO=TRO, bkg_ch=bkg_channel, y0=y0, dy=dy,
+                          Ymin=Ymin, Ymax=Ymax, p=p, q_s=q_s, q_t=q_t,
+                          c10=c10, corr=corr, beta=beta, n_grid=n_grid),
+        grid=(F, n_tiles),
+        in_specs=[
+            pl.BlockSpec((TRO, n_in), lambda f, rt: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CBO // 2 + 2, _CBO), lambda f, rt: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, n_grid), lambda f, rt: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, C, TRO, Wp), lambda f, rt: (f, 0, rt, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((F, n_tiles, 2), lambda f, rt: (0, 0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((F, n_tiles, 2), g_fine.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((C, n_in, w2in), g_fine.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(Bv, Mh, tables, cpad, fpad)
+    return jnp.sum(partials, axis=1)  # (F, 2) sums of D^beta
+
+
+def _expand_score2_jnp(g_fine, g_coarse, tables, bkg_channel, meta2):
+    """jnp composition with identical math (fallback + gradient rule)."""
+    size = (g_fine.shape[-2], g_fine.shape[-1])
+    contrast, L_bkg = _expand_contrast_jnp(g_fine, g_coarse, size, bkg_channel)
+    return _band_score2_jnp(contrast[:, 0], contrast[:, 1], contrast[:, 2],
+                            contrast[:, 3], L_bkg[:, 0], tables, meta2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _expand_score2(g_fine, g_coarse, tables, bkg_channel, meta2):
+    from fovvideovdp_tpu.ops import pallas as pallas_cfg
+    return _expand_score2_call(g_fine, g_coarse, tables, bkg_channel, meta2,
+                               interpret=pallas_cfg.interpret_mode())
+
+
+def _es2_fwd(g_fine, g_coarse, tables, bkg_channel, meta2):
+    return _expand_score2(g_fine, g_coarse, tables, bkg_channel, meta2), \
+        (g_fine, g_coarse, tables)
+
+
+def _es2_bwd(bkg_channel, meta2, res, g):
+    g_fine, g_coarse, tables = res
+    _, vjp = jax.vjp(
+        lambda a, b, t: _expand_score2_jnp(a, b, t, bkg_channel, meta2),
+        g_fine, g_coarse, tables)
+    return vjp(g)
+
+
+_expand_score2.defvjp(_es2_fwd, _es2_bwd)
+
+
+def expand_score2(g_fine, g_coarse, tables, lut, p, q_sust, q_trans,
+                  mask_c, sens_corr, beta, bkg_channel=1):
+    """Fused expand + contrast + two-channel band scoring for one level.
+
+    g_fine (F, 4, H, W) / g_coarse (F, 4, ceil(H/2), ceil(W/2)): Gaussian
+    levels of the temporal-response stack [T-sust, R-sust, T-trans, R-trans];
+    tables: (2, n) pre-reduced S_log(Y_log) tables (sustained, transient —
+    both LUTs must share the Y grid); ``sens_corr`` should include the
+    per-band gain.  Returns (F, 2) per-frame sums over valid pixels of
+    D^beta — identical to scoring the materialised contrast band with
+    band_score2_pallas.
+
+    Dispatches to the Pallas kernel on TPU for supported shapes with the jnp
+    composition as fallback (and as the gradient rule either way)."""
+    Y_log = np.asarray(lut["Y_log"])
+    Y = np.asarray(lut["Y"])
+    meta2 = (float(Y_log[0]),
+             float((Y_log[-1] - Y_log[0]) / (Y_log.shape[0] - 1)),
+             float(Y[0]), float(Y[-1]),
+             float(p), float(q_sust), float(q_trans),
+             float(10.0 ** mask_c), float(sens_corr), float(beta))
+    tabs = jnp.asarray(tables)
+    from fovvideovdp_tpu.ops import pallas as pallas_cfg
+    H, W = g_fine.shape[-2], g_fine.shape[-1]
+    if (g_fine.dtype == jnp.float32 and pallas_cfg.use_pallas()
+            and supports(H, W)):
+        return _expand_score2(g_fine, g_coarse, tabs, int(bkg_channel), meta2)
+    return _expand_score2_jnp(g_fine, g_coarse, tabs, int(bkg_channel), meta2)
