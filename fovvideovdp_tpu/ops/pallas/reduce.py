@@ -111,6 +111,198 @@ def supports(H: int, W: int) -> bool:
     return H >= _rows_copy(TR) + 2 and W >= 128
 
 
+# ---------------------------------------------------------------------------
+# No-pre-pad fast path: the XLA symmetric pad costs a full extra copy of the
+# input (~2.8 ms per 4K block).  For 8-aligned heights the kernel reads the
+# UNPADDED input directly — DMA windows are 8-row-aligned with overfetch, and
+# the symmetric top mirror / bottom edge terms fold into per-tile-position
+# constant matrices (top / interior / bottom, selected by the BlockSpec index
+# map).  Input DMAs are double-buffered across grid steps.
+# ---------------------------------------------------------------------------
+
+def _pick_tr_nopad(Ho: int) -> int:
+    """Output rows per program; prefer a divisor of Ho so the kernel output
+    needs no row slice (an XLA slice is another full copy)."""
+    # output blocks are (1, TR, Wo_pad): Pallas requires TR % 8 == 0
+    for tr in (64, 56, 48, 40, 32, 24, 16):
+        if Ho % tr == 0:
+            return tr
+    return 16
+
+
+def _vertical_variants_nopad(TR: int, rows2: int, H: int, Ho: int,
+                             n_tiles: int) -> np.ndarray:
+    """(3, TR, rows2) vertical matrices for [top, interior, bottom] tiles.
+
+    Interior/bottom tiles DMA input rows [2*rt*TR - 8, ...): local row l maps
+    to global 2*rt*TR - 8 + l, so out j takes K[l - 2j - 6].  The top tile
+    DMAs from row 0 (K[l - 2j + 2]) with the symmetric mirror rows -1 -> x0,
+    -2 -> x1 folded in; the bottom tile adds the reference's even-H edge term
+    (row H -> x[H-1]; odd H is excluded by the 8-aligned-H gate)."""
+    top = np.zeros((TR, rows2), np.float32)
+    for r in range(TR):
+        for k in range(5):
+            j = 2 * r + k - 2
+            if j >= 0:
+                top[r, j] += K5[k]
+            else:
+                top[r, -1 - j] += K5[k]     # mirror: -1 -> x0, -2 -> x1
+    mid = np.zeros((TR, rows2), np.float32)
+    for r in range(TR):
+        for k in range(5):
+            mid[r, 2 * r + k + 6] += K5[k]
+    bot = mid.copy()
+    s_al = 2 * (n_tiles - 1) * TR - 8
+    j_last = Ho - 1 - (n_tiles - 1) * TR    # local out row of Ho-1
+    # H even: out[Ho-1] needs input row H (= 2*(Ho-1) + 2), mirrored to H-1
+    if 2 * (Ho - 1) + 2 >= H and 0 <= j_last < TR:
+        bot[j_last, H - 1 - s_al] += K5[4]
+    # zero any tap falling outside the bottom tile's shorter DMA window
+    L_bot = H - s_al
+    bot[:, L_bot:] = 0.0
+    return np.stack([top, mid, bot])
+
+
+def _reduce_kernel_nopad(Av_ref, Mh_ref, x_hbm, out_ref, scratch, sem,
+                         *, H, W, TR, Wo, Wo_pad, rows2, L_bot, n_tiles, N):
+    """Grid (N, n_tiles); double-buffered input DMAs from the unpadded x."""
+    n = pl.program_id(0)
+    rt = pl.program_id(1)
+
+    def start_copy(nn, tt, slot):
+        # top tile reads [0, rows2); others read [2*tt*TR - 8, ...) with the
+        # bottom tile's window clipped to the array
+        @pl.when(tt == 0)
+        def _():
+            pltpu.make_async_copy(
+                x_hbm.at[nn, pl.ds(0, rows2), :],
+                scratch.at[slot], sem.at[slot]).start()
+        # written as 8*(...) so Mosaic's divisibility prover accepts the
+        # dynamic 8-aligned row offset (TR is a multiple of 4)
+        start8 = 8 * (tt * (TR // 4) - 1)
+        @pl.when(jnp.logical_and(tt > 0, tt < n_tiles - 1))
+        def _():
+            pltpu.make_async_copy(
+                x_hbm.at[nn, pl.ds(start8, rows2), :],
+                scratch.at[slot], sem.at[slot]).start()
+        @pl.when(jnp.logical_and(tt > 0, tt == n_tiles - 1))
+        def _():
+            pltpu.make_async_copy(
+                x_hbm.at[nn, pl.ds(start8, L_bot), :],
+                scratch.at[slot, pl.ds(0, L_bot)], sem.at[slot]).start()
+
+    step = n * n_tiles + rt
+    slot = step % 2
+    @pl.when(step == 0)
+    def _():
+        start_copy(n, rt, 0)
+    # prefetch the next grid step's window into the other buffer
+    nxt = step + 1
+    @pl.when(nxt < N * n_tiles)
+    def _():
+        start_copy(nxt // n_tiles, nxt % n_tiles, nxt % 2)
+
+    def wait(tt, slot):
+        @pl.when(jnp.logical_or(tt == 0, tt < n_tiles - 1))
+        def _():
+            pltpu.make_async_copy(
+                x_hbm.at[0, pl.ds(0, rows2), :],
+                scratch.at[slot], sem.at[slot]).wait()
+        @pl.when(jnp.logical_and(tt > 0, tt == n_tiles - 1))
+        def _():
+            pltpu.make_async_copy(
+                x_hbm.at[0, pl.ds(0, L_bot), :],
+                scratch.at[slot, pl.ds(0, L_bot)], sem.at[slot]).wait()
+
+    wait(rt, slot)
+    tile = scratch[slot]
+
+    acc = jnp.dot(Av_ref[0], tile, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)       # (TR, Wp)
+
+    Wp = tile.shape[1]
+    pad_r = 2 * Wo_pad + 4 - 2 - Wp
+    ya = jnp.concatenate(
+        [jnp.zeros((TR, 2), acc.dtype), acc, jnp.zeros((TR, pad_r), acc.dtype)],
+        axis=1)                                              # (TR, 2*Wo_pad+4)
+    blocks = []
+    for b in range(Wo_pad // _CB):
+        ya_blk = jax.lax.slice(ya, (0, 2 * _CB * b),
+                               (TR, 2 * _CB * b + 2 * _CB + 4))
+        blocks.append(jnp.dot(ya_blk, Mh_ref[:, :],
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST))
+    out = jnp.concatenate(blocks, axis=1)                    # (TR, Wo_pad)
+
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (TR, Wo_pad), 1)
+    first = acc[:, 0] * K5[1] + acc[:, 1] * K5[0]
+    out = jnp.where(col_idx == 0, out + first[:, None], out)
+    if H % 2 == 1:
+        last = acc[:, W - 1] * K5[3] + acc[:, W - 2] * K5[4]
+    else:
+        last = acc[:, W - 1] * K5[4]
+    out = jnp.where(col_idx == Wo - 1, out + last[:, None], out)
+
+    out_ref[0, :, :] = out
+
+
+def _nopad_geometry(H: int, W: int):
+    """Returns (TR, rows2, n_tiles, L_bot) for the no-pad path, or None if
+    the shape needs the padded path."""
+    if H % 8 != 0 or W % 128 != 0:
+        return None
+    Ho = H // 2
+    TR = _pick_tr_nopad(Ho)
+    n_tiles = ceildiv(Ho, TR)
+    rows2 = 2 * TR + 16
+    if n_tiles < 2 or H < rows2:
+        return None
+    L_bot = H - (2 * (n_tiles - 1) * TR - 8)
+    if L_bot <= 0 or L_bot > rows2:
+        return None
+    return TR, rows2, n_tiles, L_bot
+
+
+def _gausspyr_reduce_nopad(x3: jnp.ndarray, geom) -> jnp.ndarray:
+    N, H, W = x3.shape
+    TR, rows2, n_tiles, L_bot = geom
+    Ho, Wo = H // 2, ceildiv(W, 2)
+    Wo_pad = ceildiv(Wo, _CB) * _CB
+
+    Av = jnp.asarray(_vertical_variants_nopad(TR, rows2, H, Ho, n_tiles))
+    Mh = jnp.asarray(_banded_horizontal())
+
+    from fovvideovdp_tpu.ops import pallas as pallas_cfg
+    last = n_tiles - 1
+    out = pl.pallas_call(
+        functools.partial(_reduce_kernel_nopad, H=H, W=W, TR=TR, Wo=Wo,
+                          Wo_pad=Wo_pad, rows2=rows2, L_bot=L_bot,
+                          n_tiles=n_tiles, N=N),
+        grid=(N, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, TR, rows2),
+                         lambda n, rt: (jnp.where(rt == 0, 0,
+                                                  jnp.where(rt == last, 2, 1)),
+                                        0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * _CB + 4, _CB), lambda n, rt: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, TR, Wo_pad), lambda n, rt: (n, rt, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, n_tiles * TR, Wo_pad), x3.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, rows2, W), x3.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=pallas_cfg.interpret_mode(),
+    )(Av, Mh, x3)
+    if n_tiles * TR != Ho or Wo_pad != Wo:
+        out = out[:, :Ho, :Wo]
+    return out
+
+
 def gausspyr_reduce_pallas(x: jnp.ndarray) -> jnp.ndarray:
     """(..., H, W) -> (..., ceil(H/2), ceil(W/2)); numerics match
     ops.pyramid.gausspyr_reduce."""
@@ -118,6 +310,11 @@ def gausspyr_reduce_pallas(x: jnp.ndarray) -> jnp.ndarray:
     lead = x.shape[:-2]
     x3 = x.reshape((-1, H, W))
     N = x3.shape[0]
+
+    geom = _nopad_geometry(H, W)
+    if geom is not None:
+        out = _gausspyr_reduce_nopad(x3, geom)
+        return out.reshape(lead + out.shape[-2:])
 
     Ho, Wo = ceildiv(H, 2), ceildiv(W, 2)
     TR = min(_TR, Ho)
