@@ -69,14 +69,30 @@ def _expand_score_kernel(Bv_ref, Mh_ref, tabs_ref, coarse_hbm, fine_ref,
     (F, n_tiles, 2) partial sums of D^beta."""
     f = pl.program_id(0)
     rt = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
     w2in = Wp // 2 + 128
     n_in = TRO // 2 + 8
 
-    cp = pltpu.make_async_copy(
-        coarse_hbm.at[f, :, pl.ds((TRO // 2) * rt, n_in), :],
-        scratch.at[:, :, :], sem)
-    cp.start()
-    cp.wait()
+    # double-buffered coarse DMA: prefetch the next grid step's window while
+    # this tile computes
+    def start_copy(ff, tt, slot):
+        pltpu.make_async_copy(
+            coarse_hbm.at[ff, :, pl.ds((TRO // 2) * tt, n_in), :],
+            scratch.at[slot], sem.at[slot]).start()
+
+    step = f * n_tiles + rt
+    slot = step % 2
+    @pl.when(step == 0)
+    def _():
+        start_copy(f, rt, 0)
+    nxt = step + 1
+    @pl.when(nxt < pl.num_programs(0) * n_tiles)
+    def _():
+        start_copy(nxt // n_tiles, nxt % n_tiles, nxt % 2)
+    pltpu.make_async_copy(
+        coarse_hbm.at[0, :, pl.ds(0, n_in), :],
+        scratch.at[slot], sem.at[slot]).wait()
+    scratch = scratch.at[slot]
 
     # vertical Gaussian expand of all four channels
     # (ops/pallas/expand.py math; v planes are (TRO, w2in) — small)
@@ -211,8 +227,8 @@ def _expand_score2_call(g_fine, g_coarse, tables, bkg_channel, meta2,
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((F, n_tiles, 2), g_fine.dtype),
         scratch_shapes=[
-            pltpu.VMEM((C, n_in, w2in), g_fine.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, C, n_in, w2in), g_fine.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(Bv, Mh, tables, cpad, fpad)

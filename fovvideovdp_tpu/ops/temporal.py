@@ -108,6 +108,20 @@ def temporal_channels(padded_t: jnp.ndarray, padded_r: jnp.ndarray,
             and padded_t.dtype == jnp.float32 and F.shape[0] == 2
             and padded_t.shape[0] > F.shape[1] - 1):
         from fovvideovdp_tpu.ops.pallas.temporal import temporal_channels_pallas
+        fl = F.shape[1]
+        n_out = padded_t.shape[0] - fl + 1
+        # The kernel keeps all n_out outputs of a row tile in VMEM; for big
+        # frame blocks even the minimum 8-row tile double-buffered exceeds
+        # the ~16 MB scoped-VMEM limit.  Split the block (windows overlap by
+        # fl - 1 frames, so the only cost is re-reading those rows).
+        Wp = -(-padded_t.shape[2] // 128) * 128
+        bytes_tile8 = (2 * padded_t.shape[0] + 4 * n_out) * Wp * 4 * 8 * 2
+        if bytes_tile8 > (155 << 20) // 10 and n_out > 1:
+            half = n_out // 2
+            a = temporal_channels(padded_t[:half + fl - 1],
+                                  padded_r[:half + fl - 1], F)
+            b = temporal_channels(padded_t[half:], padded_r[half:], F)
+            return jnp.concatenate([a, b], axis=0)
         return temporal_channels_pallas(padded_t, padded_r, F)
     Rt = apply_temporal_filters(padded_t, jnp.asarray(F))
     Rr = apply_temporal_filters(padded_r, jnp.asarray(F))
