@@ -215,6 +215,14 @@ def _reduce_kernel_nopad(Av_ref, Mh_ref, x_hbm, out_ref, scratch, sem,
                 scratch.at[slot, pl.ds(0, L_bot)], sem.at[slot]).wait()
 
     wait(rt, slot)
+    if L_bot < rows2:
+        # the bottom tile's shorter DMA leaves scratch rows [L_bot, rows2)
+        # unwritten; A_bot zeroes their columns, but 0 * NaN = NaN if the
+        # VMEM was never initialised (e.g. a 2-tile level's first visit)
+        @pl.when(rt == n_tiles - 1)
+        def _():
+            scratch[slot, pl.ds(L_bot, rows2 - L_bot)] = jnp.zeros(
+                (rows2 - L_bot, scratch.shape[2]), scratch.dtype)
     tile = scratch[slot]
 
     acc = jnp.dot(Av_ref[0], tile, preferred_element_type=jnp.float32,
