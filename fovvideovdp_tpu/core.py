@@ -530,3 +530,48 @@ class MetricCore:
         if tables is not None:
             return lambda pt, pr: jitted(pt, pr, tables)
         return jitted
+
+    def video_block_step_fn(self, filt: np.ndarray, static_gaze=None,
+                            log_contrast: bool = False):
+        """One whole streaming step under a single jit.
+
+        Like :meth:`video_block_fn`, but the per-block host glue — optional
+        log-luminance encoding, concatenation with the fl-1 carried frames,
+        and slicing the next carry — happens inside the compiled program.
+        On transports where every eager op is a round-trip this collapses
+        ~6 dispatches per block into one.
+
+        fn(carry_t, carry_r, new_t (B, H, W), new_r [, gaze (B, 2)]) ->
+        (Q_per_ch, heatmap | None, carry_t', carry_r')."""
+        tables = self._static_fov_tables(static_gaze)
+        key = ("videostep", filt.shape[1], self.foveated, self.heatmap,
+               filt.tobytes(), tables is not None, log_contrast)
+        if key not in self._fn_cache:
+            filt_np = np.asarray(filt, dtype=np.float32)
+            gaze_in_sig = self.foveated and tables is None
+            fl = filt_np.shape[1]
+
+            def step(carry_t, carry_r, new_t, new_r, *extra):
+                if log_contrast:
+                    new_t = jnp.log10(jnp.clip(new_t, 1e-6, None))
+                    new_r = jnp.log10(jnp.clip(new_r, 1e-6, None))
+                padded_t = jnp.concatenate([carry_t, new_t], axis=0)
+                padded_r = jnp.concatenate([carry_r, new_r], axis=0)
+                R = temporal_ops.temporal_channels(padded_t, padded_r, filt_np)
+                if tables is not None:
+                    Q, heat = self.score_frames(R, None, temp_ch=2,
+                                                fov_tables=extra[0])
+                else:
+                    gaze = extra[0] if gaze_in_sig else None
+                    Q, heat = self.score_frames(R, gaze, temp_ch=2)
+                if fl > 1:
+                    c_t, c_r = padded_t[-(fl - 1):], padded_r[-(fl - 1):]
+                else:
+                    c_t, c_r = padded_t[:0], padded_r[:0]
+                return Q, heat, c_t, c_r
+
+            self._fn_cache[key] = jax.jit(step)
+        jitted = self._fn_cache[key]
+        if tables is not None:
+            return lambda ct, cr, nt, nr: jitted(ct, cr, nt, nr, tables)
+        return jitted

@@ -237,12 +237,16 @@ class fvvdp:
                     Q_blk, heat = fn(t, r, jnp.asarray(gaze))
                 else:
                     Q_blk, heat = fn(t, r)
-                if pending is not None:
-                    self._drain_block(pending, Q_per_ch, heatmap_frames, heat_dev_blocks)
-                pending = (pos, b, Q_blk, heat)
+                pending.append((pos, b, Q_blk, heat))
+                # pipeline depth 2: the device stays >= 1 full block ahead of
+                # the blocking host read-back
+                while len(pending) > 2:
+                    self._drain_block(pending.pop(0), Q_per_ch,
+                                      heatmap_frames, heat_dev_blocks)
                 pos += b
-            if pending is not None:
-                self._drain_block(pending, Q_per_ch, heatmap_frames, heat_dev_blocks)
+            while pending:
+                self._drain_block(pending.pop(0), Q_per_ch, heatmap_frames,
+                                  heat_dev_blocks)
         else:
             fps = vid_source.get_frames_per_second()
             fl = temporal_ops.filter_len_for_fps(fps)
@@ -257,12 +261,13 @@ class fvvdp:
             B = self._pick_block_size(height, width, N_frames)
             Q_per_ch = np.zeros((plan.height, 2, N_frames), dtype=np.float32)
             stream_idx = pad_idx[fl - 1:]  # frame index feeding each output frame
-            fn = core.video_block_fn(filt, static_gaze=static_gaze)
+            fn = core.video_block_step_fn(filt, static_gaze=static_gaze,
+                                          log_contrast=log_c)
 
             # The block loop is software-pipelined: device work for block k+1
             # is dispatched before block k's results are pulled to the host,
             # so host->device transfer and decode overlap TPU compute.
-            pending = None  # (pos, b, Q_blk, heat) not yet materialised
+            pending = []  # [(pos, b, Q_blk, heat)] not yet materialised
             pos = 0
             while pos < N_frames:
                 b = min(B, N_frames - pos)
@@ -271,41 +276,35 @@ class fvvdp:
                     new_t, new_r = vid_source.get_luminance_block(pos, b)
                 else:  # circular/pingpong padding reorders the first frames
                     new_t, new_r = vid_source.get_indexed_luminance_block(blk)
-                new_t, new_r = _enc(new_t), _enc(new_r)
                 if b < B:
                     # Pad the tail block by repeating the last frame so every
                     # block compiles to the same shape; the extra outputs are
-                    # discarded below.
+                    # discarded below.  (_enc is applied inside the step fn.)
                     rep = jnp.repeat(new_t[-1:], B - b, axis=0)
                     new_t = jnp.concatenate([new_t, rep], axis=0)
                     new_r = jnp.concatenate([new_r, jnp.repeat(new_r[-1:], B - b,
                                                                axis=0)], axis=0)
-                padded_t = jnp.concatenate([carry_t, new_t], axis=0)
-                padded_r = jnp.concatenate([carry_r, new_r], axis=0)
                 if pass_gaze:
                     gaze = self._gaze_for_frames(fixation_point, pos, b, N_frames)
                     if b < B:
                         gaze = np.concatenate(
                             [gaze, np.repeat(gaze[-1:], B - b, axis=0)], axis=0)
-                    Q_blk, heat = fn(padded_t, padded_r, jnp.asarray(gaze))
+                    Q_blk, heat, carry_t, carry_r = fn(
+                        carry_t, carry_r, new_t, new_r, jnp.asarray(gaze))
                 else:
-                    Q_blk, heat = fn(padded_t, padded_r)
+                    Q_blk, heat, carry_t, carry_r = fn(
+                        carry_t, carry_r, new_t, new_r)
 
-                if pending is not None:
-                    self._drain_block(pending, Q_per_ch, heatmap_frames, heat_dev_blocks)
-                pending = (pos, b, Q_blk, heat)
-
-                if fl > 1:
-                    # (a padded tail block is always the last one, so its
-                    # carry is never consumed)
-                    carry_t = padded_t[-(fl - 1):]
-                    carry_r = padded_r[-(fl - 1):]
-                else:
-                    carry_t = padded_t[:0]
-                    carry_r = padded_r[:0]
+                pending.append((pos, b, Q_blk, heat))
+                # pipeline depth 2: the device stays >= 1 full block ahead of
+                # the blocking host read-back
+                while len(pending) > 2:
+                    self._drain_block(pending.pop(0), Q_per_ch,
+                                      heatmap_frames, heat_dev_blocks)
                 pos += b
-            if pending is not None:
-                self._drain_block(pending, Q_per_ch, heatmap_frames, heat_dev_blocks)
+            while pending:
+                self._drain_block(pending.pop(0), Q_per_ch, heatmap_frames,
+                                  heat_dev_blocks)
 
         Q_jod = self.do_pooling_and_jods(jnp.asarray(Q_per_ch))
 

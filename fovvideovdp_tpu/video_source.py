@@ -113,6 +113,14 @@ def _slice_block_luminance(video, start, count, dm, rgb2y):
     return _luminance_cfirst(blk, dm, rgb2y)
 
 
+@functools.partial(jax.jit, static_argnames=("count", "dm", "rgb2y"))
+def _slice_block_luminance_pair(t_video, r_video, start, count, dm, rgb2y):
+    """Both streams in ONE compiled call — on transports where every
+    dispatch is a round-trip this halves the per-block source latency."""
+    return (_slice_block_luminance.__wrapped__(t_video, start, count, dm, rgb2y),
+            _slice_block_luminance.__wrapped__(r_video, start, count, dm, rgb2y))
+
+
 @functools.partial(jax.jit, static_argnames=("dm", "rgb2y"))
 def _gather_block_luminance(video, idx, dm, rgb2y):
     blk = jnp.take(video, idx, axis=1)  # (C, n, H, W)
@@ -315,10 +323,8 @@ class fvvdp_video_source_array(fvvdp_video_source_dm):
     def get_luminance_block(self, start, count):
         if self._preload_device:
             t_dev, r_dev = self._device_videos()
-            return (_slice_block_luminance(t_dev, start, count,
-                                           self.dm_photometry, self._rgb2y),
-                    _slice_block_luminance(r_dev, start, count,
-                                           self.dm_photometry, self._rgb2y))
+            return _slice_block_luminance_pair(t_dev, r_dev, start, count,
+                                               self.dm_photometry, self._rgb2y)
         self._ensure_host_bcfhw()
         sl = slice(start, start + count)
         return self._convert(self.test_video, sl), self._convert(self.reference_video, sl)
