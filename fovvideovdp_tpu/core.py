@@ -277,8 +277,12 @@ class MetricCore:
                         and not self.ignore_boundary_pixels
                         and self.band_callback is None
                         and R.dtype == jnp.float32 and pallas_cfg.use_pallas())
-        if (fused_common and temp_ch == 2 and self._luts_share_Y
+        if (fused_common and temp_ch in (1, 2) and self._luts_share_Y
                 and self.local_adapt == "gpyr"):
+            if temp_ch == 1:
+                # image path: zero transient channels score exactly 0 through
+                # the pipeline (D(0,0) = 0), matching the unfused zero-fill
+                R = jnp.concatenate([R, jnp.zeros_like(R)], axis=1)
             return self._score_frames_fused(R, sens_corr), None
 
         bands, L_bkg_list, is_contrast = self._decompose_with_adaptation(R)
