@@ -54,7 +54,14 @@ _C = 4      # temporal-response channels [T-sust, R-sust, T-trans, R-trans]
 
 def _pick_tro(H: int) -> int:
     """Fine rows per program: taller tiles raise the matmuls' M dimension
-    (MXU utilisation) — worth it as soon as the level has the rows."""
+    (MXU utilisation).  A divisor of H is strongly preferred — otherwise the
+    fine level needs an XLA row pre-pad, a full extra HBM copy (~2.8 ms for
+    a 4K block).  Must be a multiple of 8 (Pallas block-shape rule)."""
+    # TRO must be a multiple of 16: the coarse DMA starts at (TRO/2)*rt,
+    # which must stay 8-row-aligned for every tile
+    for tro in (64, 48, 32, 16):
+        if H % tro == 0:
+            return tro
     for tro in (64, 32):
         if H >= 2 * tro:
             return tro
