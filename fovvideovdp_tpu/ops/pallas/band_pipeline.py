@@ -70,7 +70,7 @@ def _pick_tro(H: int) -> int:
 
 def _expand_score_kernel(Bv_ref, Mh_ref, tabs_ref, coarse_hbm, fine_ref,
                          out_ref, scratch, sem,
-                         *, H, W, h2, w2, Wp, TRO, bkg_ch, y0, dy, Ymin,
+                         *, H, W, h2, w2, Wp, TRO, Hp, bkg_ch, y0, dy, Ymin,
                          Ymax, p, q_s, q_t, c10, corr, beta, n_grid):
     """Grid (F, ceil(H/TRO)); fine block (1, 4, TRO, Wp); out SMEM
     (F, n_tiles, 2) partial sums of D^beta."""
@@ -163,8 +163,19 @@ def _expand_score_kernel(Bv_ref, Mh_ref, tabs_ref, coarse_hbm, fine_ref,
             s_s = s_s + tabs_ref[0, i] * w
             s_t = s_t + tabs_ref[1, i] * w
 
-        # padded row/col fringe must not contribute to the norm
-        valid = jnp.logical_and(row_v < H, col_g < W)
+        # padded row/col fringe must not contribute to the norm; when the
+        # tile grid matches the level exactly (divisor TRO, aligned W) there
+        # is no fringe and the mask compiles away
+        need_row_mask = Hp != H
+        need_col_mask = Wp != W and (b + 1) * _CBO > W
+        if need_row_mask and need_col_mask:
+            valid = jnp.logical_and(row_v < H, col_g < W)
+        elif need_row_mask:
+            valid = row_v < H
+        elif need_col_mask:
+            valid = col_g < W
+        else:
+            valid = None
         for T, R, s_log, q, is_t in ((con[0], con[1], s_s, q_s, False),
                                      (con[2], con[3], s_t, q_t, True)):
             Se = jnp.exp2(s_log) * corr
@@ -172,7 +183,9 @@ def _expand_score_kernel(Bv_ref, Mh_ref, tabs_ref, coarse_hbm, fine_ref,
             Rn = R * Se
             M = c10 * jnp.minimum(jnp.abs(Tn), jnp.abs(Rn))
             D = jnp.power(jnp.abs(Tn - Rn), p) / (1.0 + jnp.power(M, q))
-            D = jnp.where(valid, jnp.minimum(D, 1e4), 0.0)
+            D = jnp.minimum(D, 1e4)
+            if valid is not None:
+                D = jnp.where(valid, D, 0.0)
             part = jnp.sum(jnp.power(D, beta))
             if is_t:
                 acc_t = acc_t + part
@@ -215,8 +228,8 @@ def _expand_score2_call(g_fine, g_coarse, tables, bkg_channel, meta2,
     n_grid = tables.shape[1]
     partials = pl.pallas_call(
         functools.partial(_expand_score_kernel, H=H, W=W, h2=h2, w2=w2,
-                          Wp=Wp, TRO=TRO, bkg_ch=bkg_channel, y0=y0, dy=dy,
-                          Ymin=Ymin, Ymax=Ymax, p=p, q_s=q_s, q_t=q_t,
+                          Wp=Wp, TRO=TRO, Hp=Hp, bkg_ch=bkg_channel, y0=y0,
+                          dy=dy, Ymin=Ymin, Ymax=Ymax, p=p, q_s=q_s, q_t=q_t,
                           c10=c10, corr=corr, beta=beta, n_grid=n_grid),
         grid=(F, n_tiles),
         in_specs=[
