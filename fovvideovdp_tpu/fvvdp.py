@@ -220,7 +220,7 @@ class fvvdp:
             B = self._pick_block_size(height, width, N_frames)
             Q_per_ch = np.zeros((plan.height, 2, N_frames), dtype=np.float32)
             fn = core.image_block_fn(static_gaze=static_gaze)
-            pending = None
+            pending = []
             pos = 0
             while pos < N_frames:
                 b = min(B, N_frames - pos)
