@@ -57,9 +57,10 @@ def _pick_tro(H: int) -> int:
     (MXU utilisation).  A divisor of H is strongly preferred — otherwise the
     fine level needs an XLA row pre-pad, a full extra HBM copy (~2.8 ms for
     a 4K block).  Must be a multiple of 8 (Pallas block-shape rule)."""
-    # TRO must be a multiple of 16: the coarse DMA starts at (TRO/2)*rt,
-    # which must stay 8-row-aligned for every tile
-    for tro in (64, 48, 32, 16):
+    # For TRO % 16 != 0 the coarse DMA start (TRO/2)*rt is only 4-aligned on
+    # odd tiles; the DMA start rounds down to 8 rows and the offset folds
+    # into an rt-parity variant of the vertical matrix.
+    for tro in (64, 56, 48, 40, 32, 24, 16):
         if H % tro == 0:
             return tro
     for tro in (64, 32):
@@ -78,13 +79,16 @@ def _expand_score_kernel(Bv_ref, Mh_ref, tabs_ref, coarse_hbm, fine_ref,
     rt = pl.program_id(1)
     n_tiles = pl.num_programs(1)
     w2in = Wp // 2 + 128
-    n_in = TRO // 2 + 8
+    n_in = -8 * (-(TRO // 2 + 8) // 8)  # DMA length must be 8-aligned too
 
     # double-buffered coarse DMA: prefetch the next grid step's window while
-    # this tile computes
+    # this tile computes.  The start rounds down to the 8-row tiling
+    # (written as 8*(...) for Mosaic's divisibility prover); the 0/4-row
+    # remainder is baked into the rt-parity Bv variant.
     def start_copy(ff, tt, slot):
+        s8 = 8 * (((TRO // 2) * tt) // 8)
         pltpu.make_async_copy(
-            coarse_hbm.at[ff, :, pl.ds((TRO // 2) * tt, n_in), :],
+            coarse_hbm.at[ff, :, pl.ds(s8, n_in), :],
             scratch.at[slot], sem.at[slot]).start()
 
     step = f * n_tiles + rt
@@ -103,15 +107,16 @@ def _expand_score_kernel(Bv_ref, Mh_ref, tabs_ref, coarse_hbm, fine_ref,
 
     # vertical Gaussian expand of all four channels
     # (ops/pallas/expand.py math; v planes are (TRO, w2in) — small)
+    s_al = 8 * (((TRO // 2) * rt) // 8)   # this tile's rounded DMA start
     vs = []
     for ch in range(_C):
-        v = jnp.dot(Bv_ref[:, :], scratch[ch],
+        v = jnp.dot(Bv_ref[0], scratch[ch],
                     preferred_element_type=jnp.float32, precision=_PREC)
         row_g = TRO * rt + jax.lax.broadcasted_iota(jnp.int32, (TRO, w2in), 0)
         x0 = scratch[ch][1, :]
         v = jnp.where(jnp.logical_and(rt == 0, row_g == 0),
                       v + 2.0 * K5[0] * x0[None, :], v)
-        i_last = h2 - (TRO // 2) * rt
+        i_last = h2 - s_al
         in_rng = jnp.logical_and(i_last >= 0, i_last < n_in)
         xl_row = scratch[ch, pl.ds(jnp.clip(i_last, 0, n_in - 1), 1), :]
         xl = jnp.where(in_rng, xl_row[0], jnp.zeros((w2in,), v.dtype))
@@ -209,7 +214,7 @@ def _expand_score2_call(g_fine, g_coarse, tables, bkg_channel, meta2,
     F, C, H, W = g_fine.shape
     h2, w2 = g_coarse.shape[-2], g_coarse.shape[-1]
     TRO = _pick_tro(H)
-    n_in = TRO // 2 + 8
+    n_in = -8 * (-(TRO // 2 + 8) // 8)  # 8-aligned DMA window length
     n_tiles = ceildiv(H, TRO)
     Wp = ceildiv(W, _CBO) * _CBO
     w2in = Wp // 2 + 128
@@ -222,7 +227,23 @@ def _expand_score2_call(g_fine, g_coarse, tables, bkg_channel, meta2,
     fpad = g_fine if (Hp == H and Wp == W) else jnp.pad(
         g_fine, ((0, 0), (0, 0), (0, Hp - H), (0, Wp - W)))
 
-    Bv = jnp.asarray(_banded_expand(n_in, TRO).T)
+    # rt-parity vertical variants: padded coarse row p sits at scratch row
+    # p - s_al, so the matrix band shifts by the 0/4-row DMA remainder
+    def _bv(off):
+        # scratch row l holds padded coarse row s_al + l = (TRO//2)*rt + l - off
+        B = np.zeros((TRO, n_in), np.float32)
+        for j in range(TRO):
+            for l in range(n_in):
+                k = 2 * (l - off) - j
+                if 0 <= k <= 4:
+                    B[j, l] = 2.0 * K5[k]
+        return B
+    if TRO % 16 == 0:
+        Bv = jnp.asarray(_bv(0)[None])
+        n_bv = 1
+    else:
+        Bv = jnp.asarray(np.stack([_bv(0), _bv(4)]))
+        n_bv = 2
     Mh = jnp.asarray(_banded_expand(_CBO // 2 + 2, _CBO))
 
     n_grid = tables.shape[1]
@@ -233,7 +254,9 @@ def _expand_score2_call(g_fine, g_coarse, tables, bkg_channel, meta2,
                           c10=c10, corr=corr, beta=beta, n_grid=n_grid),
         grid=(F, n_tiles),
         in_specs=[
-            pl.BlockSpec((TRO, n_in), lambda f, rt: (0, 0),
+            pl.BlockSpec((1, TRO, n_in),
+                         (lambda f, rt: (0, 0, 0)) if n_bv == 1
+                         else (lambda f, rt: (rt % 2, 0, 0)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_CBO // 2 + 2, _CBO), lambda f, rt: (0, 0),
                          memory_space=pltpu.VMEM),

@@ -18,7 +18,8 @@ def _core(w, h):
     return ge._make_core(w, h)
 
 
-@pytest.mark.parametrize("shape", [(96, 144), (67, 131), (160, 384)])
+@pytest.mark.parametrize("shape", [(96, 144), (67, 131), (160, 384),
+                                   (112, 384), (72, 384)])
 def test_fused_score_path_matches_jnp(shape):
     """score_frames fused path (interpret Pallas) == unfused jnp path."""
     H, W = shape
