@@ -42,7 +42,8 @@ class MetricCore:
     def __init__(self, plan: PyramidPlan, params: Dict, luts: Sequence[Dict],
                  geometry=None, foveated: bool = False,
                  heatmap: Optional[str] = None, content_mapping=None,
-                 ignore_boundary_pixels: bool = False, band_callback=None):
+                 ignore_boundary_pixels: bool = False, band_callback=None,
+                 peak_luminance: Optional[float] = None):
         self.plan = plan
         self.params = params
         self.luts = tuple(luts)
@@ -97,6 +98,22 @@ class MetricCore:
             else:
                 self._band_rho.append(float(rho_band[bb]))
                 self._band_view_dir.append(None)
+
+        # Range-trimmed copies for the fused two-channel scorers: Y-grid
+        # knots outside the achievable background-luminance range
+        # [0.1, peak_luminance] are sliced away (csf.trim_lut_range), which
+        # shrinks the kernels' per-pixel interpolation loop.
+        self.peak_luminance = peak_luminance
+        self._score_tables: List = []
+        self._score_lut: Optional[Dict] = None
+        if not foveated and self._luts_share_Y and self._band_tables:
+            lut2 = self.luts[0]
+            for bb in range(plan.height):
+                t2, lut2 = csf_mod.trim_lut_range(
+                    np.stack(self._band_tables[bb][:2]), self.luts[0],
+                    lbkg_max=peak_luminance)
+                self._score_tables.append(t2)
+            self._score_lut = lut2
 
     # ------------------------------------------------------------------
     # scoring of a block of temporal-response frames
@@ -155,8 +172,8 @@ class MetricCore:
             h, w = plan.level_shapes[bb]
             inv_norm = float(h * w) ** (1.0 / p["beta"])
             ssum2 = bp.expand_score2(
-                gpyr[bb], gpyr[bb + 1], np.stack(self._band_tables[bb][:2]),
-                self.luts[0], p["mask_p"], p["mask_q_sust"],
+                gpyr[bb], gpyr[bb + 1], self._score_tables[bb],
+                self._score_lut, p["mask_p"], p["mask_q_sust"],
                 p["mask_q_trans"], p["mask_c"], sens_corr * gain,
                 p["beta"])                      # (F, 2)
             Q_rows.append(jnp.transpose(
@@ -338,9 +355,8 @@ class MetricCore:
                         # both channels share L_bkg, so one kernel computes
                         # the hat weights once and scores both
                         ssum2 = bs.band_score2_pallas(
-                            band, L_bkg,
-                            np.stack(self._band_tables[bb][:2]),
-                            self.luts[0], p["mask_p"], p["mask_q_sust"],
+                            band, L_bkg, self._score_tables[bb],
+                            self._score_lut, p["mask_p"], p["mask_q_sust"],
                             p["mask_q_trans"], p["mask_c"], sens_corr,
                             p["beta"])          # (F, 2)
                         Q_rows.append(jnp.transpose(

@@ -179,6 +179,48 @@ def _axis_uniform(lut: Dict, axis: str) -> bool:
     return True if flags is None else bool(flags[axis])
 
 
+def trim_lut_range(tables, lut: Dict, lbkg_min: float = 0.1,
+                   lbkg_max: Optional[float] = None):
+    """Slice away Y-grid knots the scorers can never weight.
+
+    The fused band scorers clamp the background luminance to >= 0.1 cd/m^2
+    in-kernel (the contrast pyramid's clamp, pyfvvdp/fvvdp_lpyr_dec.py:264)
+    and display photometry bounds it above by the peak luminance, so hat /
+    delta taps outside [lbkg_min, lbkg_max] receive exactly zero weight;
+    dropping them shrinks the per-pixel interpolation loop (~32 -> ~19 knots
+    for a 200 cd/m^2 SDR display).  One guard knot is kept on each side so
+    every in-range evaluation keeps its exact support.
+
+    ``tables`` is one or a stack of 1-D S_log tables over ``lut``'s Y grid
+    (last axis).  Returns ``(tables[..., lo:hi+1], lut')`` with ``lut'`` a
+    shallow copy whose Y/Y_log are sliced identically — downstream meta
+    derivation (y0, dy, Ymin, Ymax) keeps working unchanged.  No-op for
+    non-uniform grids or when nothing can be trimmed.
+    """
+    Y_log = np.asarray(lut["Y_log"]).reshape(-1)
+    Y = np.asarray(lut["Y"]).reshape(-1)
+    n = Y_log.shape[0]
+    if not _axis_uniform(lut, "Y_log") or n < 4:
+        return tables, lut
+    y0 = float(Y_log[0])
+    dy = float((Y_log[-1] - y0) / (n - 1))
+    u_min = (np.log2(max(float(lbkg_min), float(Y[0]))) - y0) / dy
+    lo = max(0, int(np.floor(u_min)) - 1)
+    if lbkg_max is None or not np.isfinite(lbkg_max):
+        hi = n - 1
+    else:
+        u_max = (np.log2(min(max(float(lbkg_max), float(lbkg_min)),
+                             float(Y[-1]))) - y0) / dy
+        hi = min(n - 1, int(np.ceil(u_max)) + 1)
+    hi = max(hi, lo + 1)
+    if lo == 0 and hi == n - 1:
+        return tables, lut
+    lut2 = dict(lut)
+    lut2["Y_log"] = Y_log[lo:hi + 1]
+    lut2["Y"] = Y[lo:hi + 1]
+    return np.asarray(tables)[..., lo:hi + 1], lut2
+
+
 def reduce_lut_to_pixel_tables(lut: Dict[str, jnp.ndarray], rho, ecc):
     """Collapse the 3-D LUT over its (rho, ecc) axes with PER-PIXEL static
     maps -> (h, w, n) S_log(Y_log) tables.

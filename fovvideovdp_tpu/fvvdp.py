@@ -155,12 +155,16 @@ class fvvdp:
                self.ignore_boundary_pixels)
         if key not in self._cores:
             plan = PyramidPlan(width, height, self.pix_per_deg)
+            try:
+                peak = float(self.display_photometry.get_peak_luminance())
+            except Exception:
+                peak = None   # custom photometry without a peak: trim bottom only
             self._cores[key] = MetricCore(
                 plan, self.parameters, self._luts,
                 geometry=self.display_geometry, foveated=self.foveated,
                 heatmap=self.heatmap, content_mapping=self.content_mapping,
                 ignore_boundary_pixels=self.ignore_boundary_pixels,
-                band_callback=self.band_callback)
+                band_callback=self.band_callback, peak_luminance=peak)
         return self._cores[key]
 
     def _pick_block_size(self, height: int, width: int, n_frames: int) -> int:

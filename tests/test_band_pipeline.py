@@ -84,6 +84,26 @@ def test_reduce_nopad_matches_jnp(shape):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
 
 
+def test_trim_lut_range_preserves_interpolation():
+    """Trimmed tables + lut must give the same S_log as the full grid for
+    every background luminance in the achievable [0.1, peak] range."""
+    from fovvideovdp_tpu import csf as csf_mod
+    core = _core(128, 96)
+    full_tab = np.stack(core._band_tables[0][:2])
+    trimmed, lut2 = csf_mod.trim_lut_range(full_tab, core.luts[0],
+                                           lbkg_max=200.0)
+    assert trimmed.shape[1] < full_tab.shape[1], "nothing was trimmed"
+    L = jnp.asarray(np.geomspace(0.1, 200.0, 777, dtype=np.float32))
+    s_full = csf_mod.sensitivity_1d(core.luts[0], full_tab[0], L)
+    s_trim = csf_mod.sensitivity_1d(lut2, trimmed[0], L)
+    np.testing.assert_allclose(np.asarray(s_trim), np.asarray(s_full),
+                               rtol=2e-5)
+    # out-of-range L must still clamp sanely (no NaN/inf)
+    s_edge = csf_mod.sensitivity_1d(lut2, trimmed[0],
+                                    jnp.asarray([1e-4, 1e6], jnp.float32))
+    assert np.all(np.isfinite(np.asarray(s_edge)))
+
+
 def test_temporal_block_split_invariance():
     """Oversized frame blocks split inside temporal_channels; outputs must be
     identical to the unsplit jnp computation."""
