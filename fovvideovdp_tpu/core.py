@@ -575,19 +575,27 @@ class MetricCore:
                 if log_contrast:
                     new_t = jnp.log10(jnp.clip(new_t, 1e-6, None))
                     new_r = jnp.log10(jnp.clip(new_r, 1e-6, None))
-                padded_t = jnp.concatenate([carry_t, new_t], axis=0)
-                padded_r = jnp.concatenate([carry_r, new_r], axis=0)
-                R = temporal_ops.temporal_channels(padded_t, padded_r, filt_np)
+                B = new_t.shape[0]
+                if fl > 1:
+                    # the Pallas kernel reads carry and block separately, so
+                    # the (fl-1+B)-frame window is never materialised in HBM
+                    R = temporal_ops.temporal_channels_pair(
+                        carry_t, new_t, carry_r, new_r, filt_np)
+                else:
+                    R = temporal_ops.temporal_channels(new_t, new_r, filt_np)
                 if tables is not None:
                     Q, heat = self.score_frames(R, None, temp_ch=2,
                                                 fov_tables=extra[0])
                 else:
                     gaze = extra[0] if gaze_in_sig else None
                     Q, heat = self.score_frames(R, gaze, temp_ch=2)
-                if fl > 1:
-                    c_t, c_r = padded_t[-(fl - 1):], padded_r[-(fl - 1):]
+                if fl - 1 <= 0:
+                    c_t, c_r = new_t[:0], new_r[:0]
+                elif fl - 1 <= B:
+                    c_t, c_r = new_t[-(fl - 1):], new_r[-(fl - 1):]
                 else:
-                    c_t, c_r = padded_t[:0], padded_r[:0]
+                    c_t = jnp.concatenate([carry_t, new_t], axis=0)[-(fl - 1):]
+                    c_r = jnp.concatenate([carry_r, new_r], axis=0)[-(fl - 1):]
                 return Q, heat, c_t, c_r
 
             self._fn_cache[key] = jax.jit(step)

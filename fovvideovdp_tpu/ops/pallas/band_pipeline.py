@@ -88,7 +88,7 @@ def _expand_score_kernel(Bv_ref, Mh_ref, tabs_ref, coarse_hbm, fine_ref,
     f = pl.program_id(0)
     rt = pl.program_id(1)
     n_tiles = pl.num_programs(1)
-    w2in = Wp // 2 + 128
+    w2in = (-(-(Wp // 2 + 2) // 128)) * 128
     n_in = -8 * (-(TRO // 2 + 8) // 8)  # DMA length must be 8-aligned too
 
     # double-buffered coarse DMA: prefetch the next grid step's window while
@@ -137,25 +137,29 @@ def _expand_score_kernel(Bv_ref, Mh_ref, tabs_ref, coarse_hbm, fine_ref,
             v = jnp.where(row_g == H - 1, v + 2.0 * K5[4] * xl[None, :], v)
         vs.append(v)
 
-    # per 256-column strip: horizontal expand, contrast, CSF, masking,
-    # beta partials — live intermediates stay one strip wide
-    row_v = TRO * rt + jax.lax.broadcasted_iota(jnp.int32, (TRO, _CBO), 0)
-    col_l = jax.lax.broadcasted_iota(jnp.int32, (TRO, _CBO), 1)
+    # per column strip: horizontal expand, contrast, CSF, masking, beta
+    # partials — live intermediates stay one strip wide.  Strips are _CBO
+    # wide with an optional 128-wide ragged tail, so any 128-multiple level
+    # width (e.g. 1920) avoids an XLA column pre-pad of the fine level.
+    strips = [(s, min(_CBO, Wp - s)) for s in range(0, Wp, _CBO)]
     acc_s = jnp.zeros((), jnp.float32)
     acc_t = jnp.zeros((), jnp.float32)
-    for b in range(Wp // _CBO):
-        col_g = col_l + b * _CBO
+    for start, cw in strips:
+        row_v = TRO * rt + jax.lax.broadcasted_iota(jnp.int32, (TRO, cw), 0)
+        col_g = start + jax.lax.broadcasted_iota(jnp.int32, (TRO, cw), 1)
         es = []
         for ch in range(_C):
             v = vs[ch]
-            v_blk = jax.lax.slice(v, (0, (_CBO // 2) * b),
-                                  (TRO, (_CBO // 2) * b + _CBO // 2 + 2))
-            e = jnp.dot(v_blk, Mh_ref[:, :],
+            v_blk = jax.lax.slice(v, (0, start // 2),
+                                  (TRO, start // 2 + cw // 2 + 2))
+            # the banded matrix is translation-invariant, so the tail strip
+            # uses the top-left (cw/2+2, cw) sub-block of Mh
+            e = jnp.dot(v_blk, Mh_ref[:cw // 2 + 2, :cw],
                         preferred_element_type=jnp.float32, precision=_PREC)
             # horizontal interleave edge terms (padded col q = x col q-1)
-            if b == 0:
+            if start == 0:
                 e = jnp.where(col_g == 0, e + 2.0 * K5[0] * v[:, 1:2], e)
-            if (b + 1) * _CBO > W - 2:
+            if start + cw > W - 2:
                 vlast = v[:, w2:w2 + 1]
                 if W % 2 == 0:
                     e = jnp.where(col_g == W - 1, e + 2.0 * K5[3] * vlast, e)
@@ -165,7 +169,7 @@ def _expand_score_kernel(Bv_ref, Mh_ref, tabs_ref, coarse_hbm, fine_ref,
             es.append(e)
 
         lbkg = jnp.maximum(es[bkg_ch], 0.1)
-        fine = fine_ref[0, :, :, b * _CBO:(b + 1) * _CBO]
+        fine = fine_ref[0, :, :, start:start + cw]
         con = [jnp.minimum((fine[ch] - es[ch]) / lbkg, 1000.0)
                for ch in range(_C)]
 
@@ -186,7 +190,7 @@ def _expand_score_kernel(Bv_ref, Mh_ref, tabs_ref, coarse_hbm, fine_ref,
         # tile grid matches the level exactly (divisor TRO, aligned W) there
         # is no fringe and the mask compiles away
         need_row_mask = Hp != H
-        need_col_mask = Wp != W and (b + 1) * _CBO > W
+        need_col_mask = Wp != W and start + cw > W
         if need_row_mask and need_col_mask:
             valid = jnp.logical_and(row_v < H, col_g < W)
         elif need_row_mask:
@@ -239,8 +243,10 @@ def _expand_score2_call(g_fine, g_coarse, tables, bkg_channel, meta2,
     TRO = _pick_tro(H)
     n_in = -8 * (-(TRO // 2 + 8) // 8)  # 8-aligned DMA window length
     n_tiles = ceildiv(H, TRO)
-    Wp = ceildiv(W, _CBO) * _CBO
-    w2in = Wp // 2 + 128
+    # 128-granular width (ragged tail strip in-kernel) and lane-aligned
+    # scratch width: a 1920-wide level needs no column pre-pad at all
+    Wp = ceildiv(W, 128) * 128
+    w2in = ceildiv(Wp // 2 + 2, 128) * 128
 
     rows_needed = (TRO // 2) * (n_tiles - 1) + n_in
     cpad = jnp.pad(g_coarse, ((0, 0), (0, 0),

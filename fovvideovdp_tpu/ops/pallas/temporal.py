@@ -85,6 +85,107 @@ def _temporal_call(padded_t, padded_r, taps, interpret=False):
     return out[:, :, :H, :W]
 
 
+def _temporal_kernel_pair(ct_ref, nt_ref, cr_ref, nr_ref, out_ref,
+                          *, taps, n_out, ncarry):
+    """Same as _temporal_kernel, but the frame window is supplied as two
+    separate refs (the fl-1 carried frames + the B fresh frames) — the
+    streaming step no longer materialises their 2x~460 MB concatenation in
+    HBM.  Frame indices are unrolled Python ints, so each tap reads from a
+    statically-known ref."""
+    fl = len(taps[0])
+    for f in range(n_out):
+        for c in range(2):
+            acc_t = None
+            acc_r = None
+            for j in range(fl):
+                w = taps[c][j]
+                if w == 0.0:
+                    continue
+                src = f + fl - 1 - j
+                if src < ncarry:
+                    tt = w * ct_ref[src]
+                    rr = w * cr_ref[src]
+                else:
+                    tt = w * nt_ref[src - ncarry]
+                    rr = w * nr_ref[src - ncarry]
+                acc_t = tt if acc_t is None else acc_t + tt
+                acc_r = rr if acc_r is None else acc_r + rr
+            out_ref[f, 2 * c] = acc_t
+            out_ref[f, 2 * c + 1] = acc_r
+
+
+@functools.partial(jax.jit, static_argnames=("taps", "interpret"))
+def _temporal_call_pair(carry_t, new_t, carry_r, new_r, taps,
+                        interpret=False):
+    ncarry, H, W = carry_t.shape
+    n_new = new_t.shape[0]
+    fl = len(taps[0])
+    n_in = ncarry + n_new
+    n_out = n_in - fl + 1
+
+    Wp = ceildiv(W, 128) * 128
+    bytes_per_row = (2 * n_in + 4 * n_out) * Wp * 4
+    TR = max(8, min(256, (_VMEM_BUDGET // max(bytes_per_row, 1)) // 8 * 8))
+    n_tiles = ceildiv(H, TR)
+    Hp = n_tiles * TR
+    if Hp != H or Wp != W:
+        pad = ((0, 0), (0, Hp - H), (0, Wp - W))
+        carry_t, carry_r = jnp.pad(carry_t, pad), jnp.pad(carry_r, pad)
+        new_t, new_r = jnp.pad(new_t, pad), jnp.pad(new_r, pad)
+
+    def spec(n):
+        return pl.BlockSpec((n, TR, Wp), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_temporal_kernel_pair, taps=taps, n_out=n_out,
+                          ncarry=ncarry),
+        grid=(n_tiles,),
+        in_specs=[spec(ncarry), spec(n_new), spec(ncarry), spec(n_new)],
+        out_specs=pl.BlockSpec((n_out, 4, TR, Wp), lambda i: (0, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_out, 4, Hp, Wp), new_t.dtype),
+        interpret=interpret,
+    )(carry_t, new_t, carry_r, new_r)
+    return out[:, :, :H, :W]
+
+
+def _temporal_pair_jnp(carry_t, new_t, carry_r, new_r, taps):
+    return _temporal_jnp(jnp.concatenate([carry_t, new_t], axis=0),
+                         jnp.concatenate([carry_r, new_r], axis=0), taps)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _temporal_pair(carry_t, new_t, carry_r, new_r, taps):
+    from fovvideovdp_tpu.ops import pallas as pallas_cfg
+    return _temporal_call_pair(carry_t, new_t, carry_r, new_r, taps,
+                               interpret=pallas_cfg.interpret_mode())
+
+
+def _tp_fwd(carry_t, new_t, carry_r, new_r, taps):
+    return _temporal_pair(carry_t, new_t, carry_r, new_r, taps), \
+        (carry_t, new_t, carry_r, new_r)
+
+
+def _tp_bwd(taps, res, g):
+    carry_t, new_t, carry_r, new_r = res
+    _, vjp = jax.vjp(lambda a, b, c, d: _temporal_pair_jnp(a, b, c, d, taps),
+                     carry_t, new_t, carry_r, new_r)
+    return vjp(g)
+
+
+_temporal_pair.defvjp(_tp_fwd, _tp_bwd)
+
+
+def temporal_channels_pair_pallas(carry_t, new_t, carry_r, new_r,
+                                  F: np.ndarray):
+    """Split-window variant of :func:`temporal_channels_pallas`: the fl-1
+    carried frames and the fresh block are read directly, without the
+    streaming step having to concatenate them in HBM first."""
+    taps = tuple(tuple(float(x) for x in row) for row in np.asarray(F))
+    return _temporal_pair(carry_t, new_t, carry_r, new_r, taps)
+
+
 def _temporal_jnp(padded_t, padded_r, taps):
     from fovvideovdp_tpu.ops.temporal import apply_temporal_filters
     F = jnp.asarray(np.asarray(taps, dtype=np.float32))

@@ -92,6 +92,52 @@ def apply_temporal_filters(padded: jnp.ndarray, F: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(outs, axis=1)
 
 
+def temporal_channels_pair(carry_t: jnp.ndarray, new_t: jnp.ndarray,
+                           carry_r: jnp.ndarray, new_r: jnp.ndarray,
+                           F: np.ndarray) -> jnp.ndarray:
+    """:func:`temporal_channels` with the padded window supplied in two
+    pieces: the fl-1 carried frames and the fresh block.  On TPU the Pallas
+    kernel reads both pieces directly, so the streaming step never
+    materialises their concatenation in HBM (2 x ~460 MB of pure copy per
+    4K block); elsewhere it concatenates and falls back.
+    """
+    from fovvideovdp_tpu.ops import pallas as pallas_cfg
+    F = np.asarray(F, dtype=np.float32)
+    fl = F.shape[1]
+    ncarry = carry_t.shape[0]
+    n_new = new_t.shape[0]
+    n_out = ncarry + n_new - fl + 1
+    if (pallas_cfg.use_pallas() and carry_t.ndim == 3 and ncarry >= 1
+            and carry_t.dtype == jnp.float32 and F.shape[0] == 2
+            and n_out >= 1):
+        from fovvideovdp_tpu.ops.pallas.temporal import (
+            temporal_channels_pair_pallas)
+        Wp = -(-carry_t.shape[2] // 128) * 128
+        bytes_tile8 = (2 * (ncarry + n_new) + 4 * n_out) * Wp * 4 * 8 * 2
+        if bytes_tile8 > (155 << 20) // 10 and n_out > 1:
+            # split over output frames (windows overlap by fl - 1); each
+            # half's carry is a pure slice when the split point clears the
+            # window, else a small (fl-1)-frame concat
+            half = n_out // 2
+            a = temporal_channels_pair(carry_t, new_t[:half], carry_r,
+                                       new_r[:half], F)
+            if half >= fl - 1:
+                c_t2, c_r2 = new_t[half - (fl - 1):half], \
+                    new_r[half - (fl - 1):half]
+            else:
+                c_t2 = jnp.concatenate([carry_t, new_t[:half]],
+                                       axis=0)[-(fl - 1):]
+                c_r2 = jnp.concatenate([carry_r, new_r[:half]],
+                                       axis=0)[-(fl - 1):]
+            b = temporal_channels_pair(c_t2, new_t[half:], c_r2,
+                                       new_r[half:], F)
+            return jnp.concatenate([a, b], axis=0)
+        return temporal_channels_pair_pallas(carry_t, new_t, carry_r, new_r,
+                                             F)
+    return temporal_channels(jnp.concatenate([carry_t, new_t], axis=0),
+                             jnp.concatenate([carry_r, new_r], axis=0), F)
+
+
 def temporal_channels(padded_t: jnp.ndarray, padded_r: jnp.ndarray,
                       F: np.ndarray) -> jnp.ndarray:
     """Temporal channels for a test/reference pair in one pass.

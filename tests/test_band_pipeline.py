@@ -127,3 +127,24 @@ def test_temporal_block_split_invariance():
     b = t.temporal_channels(pt[half:], pr[half:], F)
     split = np.asarray(jnp.concatenate([a, b], axis=0))
     np.testing.assert_allclose(split, ref, rtol=1e-5, atol=1e-4)
+
+
+def test_temporal_pair_matches_concat():
+    """temporal_channels_pair (split carry/new inputs, Pallas interpret and
+    jnp fallback) must equal temporal_channels on the concatenation."""
+    from fovvideovdp_tpu.ops import temporal as t
+    rng = np.random.default_rng(7)
+    F = t.temporal_filters(30.0, 8)
+    fl = F.shape[1]
+    B = 6
+    ct = jnp.asarray(rng.random((fl - 1, 48, 128), dtype=np.float32) * 100)
+    cr = jnp.asarray(rng.random((fl - 1, 48, 128), dtype=np.float32) * 100)
+    nt = jnp.asarray(rng.random((B, 48, 128), dtype=np.float32) * 100)
+    nr = jnp.asarray(rng.random((B, 48, 128), dtype=np.float32) * 100)
+    want = np.asarray(t.temporal_channels(jnp.concatenate([ct, nt]),
+                                          jnp.concatenate([cr, nr]), F))
+    got_jnp = np.asarray(t.temporal_channels_pair(ct, nt, cr, nr, F))
+    np.testing.assert_allclose(got_jnp, want, rtol=1e-5, atol=1e-4)
+    with pallas_cfg.forced(True, interpret=True):
+        got_pl = np.asarray(t.temporal_channels_pair(ct, nt, cr, nr, F))
+    np.testing.assert_allclose(got_pl, want, rtol=1e-5, atol=1e-4)
