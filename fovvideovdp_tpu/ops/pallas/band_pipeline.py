@@ -82,23 +82,38 @@ def _pick_tro(H: int) -> int:
 def _expand_score_kernel(Bv_ref, Mh_ref, tabs_ref, coarse_hbm, fine_ref,
                          out_ref, scratch, sem,
                          *, H, W, h2, w2, Wp, TRO, Hp, bkg_ch, y0, dy, Ymin,
-                         Ymax, p, q_s, q_t, c10, corr, beta, n_grid):
+                         Ymax, p, q_s, q_t, c10, corr, beta, n_grid,
+                         n_in, direct, s_max):
     """Grid (F, ceil(H/TRO)); fine block (1, 4, TRO, Wp); out SMEM
-    (F, n_tiles, 2) partial sums of D^beta."""
+    (F, n_tiles, 2) partial sums of D^beta.
+
+    Two coarse-input layouts:
+    * padded (direct=False): the caller pre-padded the coarse level with a
+      leading zero row/col and trailing zeros (one full HBM copy); DMA
+      starts round down to the 8-row tiling, the 0/4-row remainder baked
+      into an rt-parity Bv variant.
+    * direct (direct=True): the RAW coarse level is read — no pre-pad copy
+      at all.  DMA starts are clamped to [0, s_max] so every window stays
+      in bounds; the per-tile row offset (including the virtual leading
+      zero row) is baked into a per-tile Bv matrix, and the virtual leading
+      zero column into the Mh band (built by the caller)."""
     f = pl.program_id(0)
     rt = pl.program_id(1)
     n_tiles = pl.num_programs(1)
-    w2in = (-(-(Wp // 2 + 2) // 128)) * 128
-    n_in = -8 * (-(TRO // 2 + 8) // 8)  # DMA length must be 8-aligned too
+    w2in = w2 if direct else (-(-(Wp // 2 + 2) // 128)) * 128
 
     # double-buffered coarse DMA: prefetch the next grid step's window while
-    # this tile computes.  The start rounds down to the 8-row tiling
-    # (written as 8*(...) for Mosaic's divisibility prover); the 0/4-row
-    # remainder is baked into the rt-parity Bv variant.
+    # this tile computes (starts written literally as 8*(...) for Mosaic's
+    # divisibility prover)
+    def dma_start(tt):
+        if direct:
+            return 8 * jnp.minimum(jnp.maximum(((TRO // 2) * tt - 1) // 8, 0),
+                                   s_max // 8)
+        return 8 * (((TRO // 2) * tt) // 8)
+
     def start_copy(ff, tt, slot):
-        s8 = 8 * (((TRO // 2) * tt) // 8)
         pltpu.make_async_copy(
-            coarse_hbm.at[ff, :, pl.ds(s8, n_in), :],
+            coarse_hbm.at[ff, :, pl.ds(dma_start(tt), n_in), :],
             scratch.at[slot], sem.at[slot]).start()
 
     step = f * n_tiles + rt
@@ -117,13 +132,14 @@ def _expand_score_kernel(Bv_ref, Mh_ref, tabs_ref, coarse_hbm, fine_ref,
 
     # vertical Gaussian expand of all four channels
     # (ops/pallas/expand.py math; v planes are (TRO, w2in) — small)
-    s_al = 8 * (((TRO // 2) * rt) // 8)   # this tile's rounded DMA start
+    # scratch row l holds padded coarse row s_al + l
+    s_al = dma_start(rt) + 1 if direct else 8 * (((TRO // 2) * rt) // 8)
     vs = []
     for ch in range(_C):
         v = jnp.dot(Bv_ref[0], scratch[ch],
                     preferred_element_type=jnp.float32, precision=_PREC)
         row_g = TRO * rt + jax.lax.broadcasted_iota(jnp.int32, (TRO, w2in), 0)
-        x0 = scratch[ch][1, :]
+        x0 = scratch[ch][0 if direct else 1, :]
         v = jnp.where(jnp.logical_and(rt == 0, row_g == 0),
                       v + 2.0 * K5[0] * x0[None, :], v)
         i_last = h2 - s_al
@@ -147,20 +163,29 @@ def _expand_score_kernel(Bv_ref, Mh_ref, tabs_ref, coarse_hbm, fine_ref,
     for start, cw in strips:
         row_v = TRO * rt + jax.lax.broadcasted_iota(jnp.int32, (TRO, cw), 0)
         col_g = start + jax.lax.broadcasted_iota(jnp.int32, (TRO, cw), 1)
+        # the banded matrix is translation-invariant, so each strip uses a
+        # top-left sub-block of Mh.  Direct mode's band is pre-shifted for
+        # the missing leading zero column; its last strip drops one matrix
+        # row so no read goes past the raw coarse width (the dropped
+        # contributions are exactly the zero-pad terms the explicit edge
+        # corrections already account for).
+        if direct:
+            nmh = cw // 2 + (0 if start + cw == Wp else 1)
+        else:
+            nmh = cw // 2 + 2
         es = []
         for ch in range(_C):
             v = vs[ch]
             v_blk = jax.lax.slice(v, (0, start // 2),
-                                  (TRO, start // 2 + cw // 2 + 2))
-            # the banded matrix is translation-invariant, so the tail strip
-            # uses the top-left (cw/2+2, cw) sub-block of Mh
-            e = jnp.dot(v_blk, Mh_ref[:cw // 2 + 2, :cw],
+                                  (TRO, start // 2 + nmh))
+            e = jnp.dot(v_blk, Mh_ref[:nmh, :cw],
                         preferred_element_type=jnp.float32, precision=_PREC)
             # horizontal interleave edge terms (padded col q = x col q-1)
             if start == 0:
-                e = jnp.where(col_g == 0, e + 2.0 * K5[0] * v[:, 1:2], e)
+                xcol0 = v[:, 0:1] if direct else v[:, 1:2]
+                e = jnp.where(col_g == 0, e + 2.0 * K5[0] * xcol0, e)
             if start + cw > W - 2:
-                vlast = v[:, w2:w2 + 1]
+                vlast = v[:, w2 - 1:w2] if direct else v[:, w2:w2 + 1]
                 if W % 2 == 0:
                     e = jnp.where(col_g == W - 1, e + 2.0 * K5[3] * vlast, e)
                     e = jnp.where(col_g == W - 2, e + 2.0 * K5[4] * vlast, e)
@@ -241,51 +266,99 @@ def _expand_score2_call(g_fine, g_coarse, tables, bkg_channel, meta2,
     F, C, H, W = g_fine.shape
     h2, w2 = g_coarse.shape[-2], g_coarse.shape[-1]
     TRO = _pick_tro(H)
-    n_in = -8 * (-(TRO // 2 + 8) // 8)  # 8-aligned DMA window length
     n_tiles = ceildiv(H, TRO)
     # 128-granular width (ragged tail strip in-kernel) and lane-aligned
     # scratch width: a 1920-wide level needs no column pre-pad at all
     Wp = ceildiv(W, 128) * 128
-    w2in = ceildiv(Wp // 2 + 2, 128) * 128
-
-    rows_needed = (TRO // 2) * (n_tiles - 1) + n_in
-    cpad = jnp.pad(g_coarse, ((0, 0), (0, 0),
-                              (1, max(rows_needed - h2 - 1, 0)),
-                              (1, w2in - w2 - 1)))
     Hp = n_tiles * TRO
     fpad = g_fine if (Hp == H and Wp == W) else jnp.pad(
         g_fine, ((0, 0), (0, 0), (0, Hp - H), (0, Wp - W)))
 
-    # rt-parity vertical variants: padded coarse row p sits at scratch row
-    # p - s_al, so the matrix band shifts by the 0/4-row DMA remainder
-    def _bv(off):
-        # scratch row l holds padded coarse row s_al + l = (TRO//2)*rt + l - off
-        B = np.zeros((TRO, n_in), np.float32)
-        for j in range(TRO):
-            for l in range(n_in):
-                k = 2 * (l - off) - j
-                if 0 <= k <= 4:
-                    B[j, l] = 2.0 * K5[k]
-        return B
-    if TRO % 16 == 0:
-        Bv = jnp.asarray(_bv(0)[None])
-        n_bv = 1
+    # Direct coarse mode: skip the coarse pre-pad copy entirely when the raw
+    # level can be DMA'd as-is — per-tile row windows clamped into [0, s_max]
+    # (offsets absorbed by per-tile Bv matrices) and a lane-aligned width.
+    K5a = np.asarray(K5, np.float32)
+    direct = (Wp == W and W % 2 == 0 and w2 == W // 2 and w2 % 128 == 0
+              and h2 >= 16)
+    s_list = []
+    s_max = 0
+    if direct:
+        n_in = -8 * (-(TRO // 2 + 8) // 8)
+        ok = False
+        for _ in range(16):
+            s_max = 8 * ((h2 - n_in) // 8)
+            if s_max < 0:
+                break
+            s_list = [min(max(0, 8 * (((TRO // 2) * rt - 1) // 8)), s_max)
+                      for rt in range(n_tiles)]
+            lmax = max(min((TRO // 2) * rt + (TRO + 3) // 2, h2) - s - 1
+                       for rt, s in enumerate(s_list))
+            need = -8 * (-(lmax + 1) // 8)
+            if need <= n_in:
+                ok = True
+                break
+            n_in = need
+        direct = ok
+
+    if direct:
+        coarse_in = g_coarse
+        w2in = w2
+        # Bv[rt][j, l]: scratch row l holds raw coarse row s_list[rt] + l,
+        # i.e. padded row s+l+1; band k = 2*(p - (TRO/2)*rt) - j
+        ll = np.arange(n_in)[None, None, :]
+        jj = np.arange(TRO)[None, :, None]
+        ss = np.asarray(s_list)[:, None, None]
+        QQ = (TRO // 2) * np.arange(n_tiles)[:, None, None]
+        kk = 2 * (ss + ll + 1 - QQ) - jj
+        Bv = jnp.asarray(np.where((kk >= 0) & (kk <= 4),
+                                  2.0 * K5a[np.clip(kk, 0, 4)],
+                                  0.0).astype(np.float32))
+        # Mh band pre-shifted for the missing leading zero column:
+        # e[j] += 2K[2m + 2 - j] * scratch_col[m]
+        Mh_np = np.zeros((_CBO // 2 + 2, _CBO), np.float32)
+        mm = np.arange(_CBO // 2 + 2)[:, None]
+        jm = np.arange(_CBO)[None, :]
+        km = 2 * mm + 2 - jm
+        Mh_np = np.where((km >= 0) & (km <= 4), 2.0 * K5a[np.clip(km, 0, 4)],
+                         0.0).astype(np.float32)
+        Mh = jnp.asarray(Mh_np)
+        bv_index = lambda f, rt: (rt, 0, 0)
     else:
-        Bv = jnp.asarray(np.stack([_bv(0), _bv(4)]))
-        n_bv = 2
-    Mh = jnp.asarray(_banded_expand(_CBO // 2 + 2, _CBO))
+        n_in = -8 * (-(TRO // 2 + 8) // 8)  # 8-aligned DMA window length
+        w2in = ceildiv(Wp // 2 + 2, 128) * 128
+        rows_needed = (TRO // 2) * (n_tiles - 1) + n_in
+        coarse_in = jnp.pad(g_coarse, ((0, 0), (0, 0),
+                                       (1, max(rows_needed - h2 - 1, 0)),
+                                       (1, w2in - w2 - 1)))
+
+        # rt-parity vertical variants: padded coarse row p sits at scratch
+        # row p - s_al, so the band shifts by the 0/4-row DMA remainder
+        def _bv(off):
+            B = np.zeros((TRO, n_in), np.float32)
+            for j in range(TRO):
+                for l in range(n_in):
+                    k = 2 * (l - off) - j
+                    if 0 <= k <= 4:
+                        B[j, l] = 2.0 * K5[k]
+            return B
+        if TRO % 16 == 0:
+            Bv = jnp.asarray(_bv(0)[None])
+            bv_index = lambda f, rt: (0, 0, 0)
+        else:
+            Bv = jnp.asarray(np.stack([_bv(0), _bv(4)]))
+            bv_index = lambda f, rt: (rt % 2, 0, 0)
+        Mh = jnp.asarray(_banded_expand(_CBO // 2 + 2, _CBO))
 
     n_grid = tables.shape[1]
     partials = pl.pallas_call(
         functools.partial(_expand_score_kernel, H=H, W=W, h2=h2, w2=w2,
                           Wp=Wp, TRO=TRO, Hp=Hp, bkg_ch=bkg_channel, y0=y0,
                           dy=dy, Ymin=Ymin, Ymax=Ymax, p=p, q_s=q_s, q_t=q_t,
-                          c10=c10, corr=corr, beta=beta, n_grid=n_grid),
+                          c10=c10, corr=corr, beta=beta, n_grid=n_grid,
+                          n_in=n_in, direct=direct, s_max=s_max),
         grid=(F, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, TRO, n_in),
-                         (lambda f, rt: (0, 0, 0)) if n_bv == 1
-                         else (lambda f, rt: (rt % 2, 0, 0)),
+            pl.BlockSpec((1, TRO, n_in), bv_index,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_CBO // 2 + 2, _CBO), lambda f, rt: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -303,7 +376,7 @@ def _expand_score2_call(g_fine, g_coarse, tables, bkg_channel, meta2,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(Bv, Mh, tables, cpad, fpad)
+    )(Bv, Mh, tables, coarse_in, fpad)
     return jnp.sum(partials, axis=1)  # (F, 2) sums of D^beta
 
 

@@ -19,7 +19,10 @@ def _core(w, h):
 
 
 @pytest.mark.parametrize("shape", [(96, 144), (67, 131), (160, 384),
-                                   (112, 384), (72, 384)])
+                                   (112, 384), (72, 384),
+                                   # direct-coarse mode (raw coarse DMA,
+                                   # w2 % 128 == 0): even/odd H fringe
+                                   (96, 256), (67, 256), (72, 512)])
 def test_fused_score_path_matches_jnp(shape):
     """score_frames fused path (interpret Pallas) == unfused jnp path."""
     H, W = shape
