@@ -56,9 +56,9 @@ from jax.experimental.pallas import tpu as pltpu
 from fovvideovdp_tpu.ops.pyramid import (K5, ceildiv, _expand_contrast_jnp)
 from fovvideovdp_tpu.ops.pallas.expand import _banded_expand
 from fovvideovdp_tpu.ops.pallas.band_score import _band_score2_jnp
+from fovvideovdp_tpu.ops.pallas.mxu import dot3 as _dot3
 
 _CBO = 256  # fine cols per horizontal matmul block
-_PREC = jax.lax.Precision.HIGHEST
 _C = 4      # temporal-response channels [T-sust, R-sust, T-trans, R-trans]
 
 
@@ -83,7 +83,7 @@ def _expand_score_kernel(Bv_ref, Mh_ref, tabs_ref, coarse_hbm, fine_ref,
                          out_ref, scratch, sem,
                          *, H, W, h2, w2, Wp, TRO, Hp, bkg_ch, y0, dy, Ymin,
                          Ymax, p, q_s, q_t, c10, corr, beta, n_grid,
-                         n_in, direct, s_max):
+                         n_in, direct, s_max, shared_delta):
     """Grid (F, ceil(H/TRO)); fine block (1, 4, TRO, Wp); out SMEM
     (F, n_tiles, 2) partial sums of D^beta.
 
@@ -136,8 +136,7 @@ def _expand_score_kernel(Bv_ref, Mh_ref, tabs_ref, coarse_hbm, fine_ref,
     s_al = dma_start(rt) + 1 if direct else 8 * (((TRO // 2) * rt) // 8)
     vs = []
     for ch in range(_C):
-        v = jnp.dot(Bv_ref[0], scratch[ch],
-                    preferred_element_type=jnp.float32, precision=_PREC)
+        v = _dot3(Bv_ref[0], scratch[ch])
         row_g = TRO * rt + jax.lax.broadcasted_iota(jnp.int32, (TRO, w2in), 0)
         x0 = scratch[ch][0 if direct else 1, :]
         v = jnp.where(jnp.logical_and(rt == 0, row_g == 0),
@@ -178,8 +177,7 @@ def _expand_score_kernel(Bv_ref, Mh_ref, tabs_ref, coarse_hbm, fine_ref,
             v = vs[ch]
             v_blk = jax.lax.slice(v, (0, start // 2),
                                   (TRO, start // 2 + nmh))
-            e = jnp.dot(v_blk, Mh_ref[:nmh, :cw],
-                        preferred_element_type=jnp.float32, precision=_PREC)
+            e = _dot3(v_blk, Mh_ref[:nmh, :cw])
             # horizontal interleave edge terms (padded col q = x col q-1)
             if start == 0:
                 xcol0 = v[:, 0:1] if direct else v[:, 1:2]
@@ -206,10 +204,19 @@ def _expand_score_kernel(Bv_ref, Mh_ref, tabs_ref, coarse_hbm, fine_ref,
         u = jnp.clip(u, 0.0, float(n_grid - 1))
         s_s = jnp.zeros_like(u) + tabs_ref[0, 0]
         s_t = jnp.zeros_like(u) + tabs_ref[1, 0]
-        for i in range(n_grid - 1):
-            c = jnp.clip(u - float(i), 0.0, 1.0)
-            s_s = s_s + (tabs_ref[0, i + 1] - tabs_ref[0, i]) * c
-            s_t = s_t + (tabs_ref[1, i + 1] - tabs_ref[1, i]) * c
+        if shared_delta:
+            # transient log2-S == sustained + const (the omega=5 temporal
+            # modulation factors out of the Daly CSF): one interpolation,
+            # one scalar offset — halves the per-knot FMA count
+            for i in range(n_grid - 1):
+                c = jnp.clip(u - float(i), 0.0, 1.0)
+                s_s = s_s + (tabs_ref[0, i + 1] - tabs_ref[0, i]) * c
+            s_t = s_s + (tabs_ref[1, 0] - tabs_ref[0, 0])
+        else:
+            for i in range(n_grid - 1):
+                c = jnp.clip(u - float(i), 0.0, 1.0)
+                s_s = s_s + (tabs_ref[0, i + 1] - tabs_ref[0, i]) * c
+                s_t = s_t + (tabs_ref[1, i + 1] - tabs_ref[1, i]) * c
 
         # padded row/col fringe must not contribute to the norm; when the
         # tile grid matches the level exactly (divisor TRO, aligned W) there
@@ -259,9 +266,9 @@ def supports(H: int, W: int) -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=("bkg_channel", "meta2",
-                                              "interpret"))
+                                              "shared_delta", "interpret"))
 def _expand_score2_call(g_fine, g_coarse, tables, bkg_channel, meta2,
-                        interpret=False):
+                        shared_delta=False, interpret=False):
     y0, dy, Ymin, Ymax, p, q_s, q_t, c10, corr, beta = meta2
     F, C, H, W = g_fine.shape
     h2, w2 = g_coarse.shape[-2], g_coarse.shape[-1]
@@ -355,7 +362,8 @@ def _expand_score2_call(g_fine, g_coarse, tables, bkg_channel, meta2,
                           Wp=Wp, TRO=TRO, Hp=Hp, bkg_ch=bkg_channel, y0=y0,
                           dy=dy, Ymin=Ymin, Ymax=Ymax, p=p, q_s=q_s, q_t=q_t,
                           c10=c10, corr=corr, beta=beta, n_grid=n_grid,
-                          n_in=n_in, direct=direct, s_max=s_max),
+                          n_in=n_in, direct=direct, s_max=s_max,
+                          shared_delta=shared_delta),
         grid=(F, n_tiles),
         in_specs=[
             pl.BlockSpec((1, TRO, n_in), bv_index,
@@ -388,19 +396,23 @@ def _expand_score2_jnp(g_fine, g_coarse, tables, bkg_channel, meta2):
                             contrast[:, 3], L_bkg[:, 0], tables, meta2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _expand_score2(g_fine, g_coarse, tables, bkg_channel, meta2):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _expand_score2(g_fine, g_coarse, tables, bkg_channel, meta2,
+                   shared_delta=False):
     from fovvideovdp_tpu.ops import pallas as pallas_cfg
     return _expand_score2_call(g_fine, g_coarse, tables, bkg_channel, meta2,
+                               shared_delta=shared_delta,
                                interpret=pallas_cfg.interpret_mode())
 
 
-def _es2_fwd(g_fine, g_coarse, tables, bkg_channel, meta2):
-    return _expand_score2(g_fine, g_coarse, tables, bkg_channel, meta2), \
+def _es2_fwd(g_fine, g_coarse, tables, bkg_channel, meta2,
+             shared_delta=False):
+    return _expand_score2(g_fine, g_coarse, tables, bkg_channel, meta2,
+                          shared_delta), \
         (g_fine, g_coarse, tables)
 
 
-def _es2_bwd(bkg_channel, meta2, res, g):
+def _es2_bwd(bkg_channel, meta2, shared_delta, res, g):
     g_fine, g_coarse, tables = res
     _, vjp = jax.vjp(
         lambda a, b, t: _expand_score2_jnp(a, b, t, bkg_channel, meta2),
@@ -432,10 +444,16 @@ def expand_score2(g_fine, g_coarse, tables, lut, p, q_sust, q_trans,
              float(Y[0]), float(Y[-1]),
              float(p), float(q_sust), float(q_trans),
              float(10.0 ** mask_c), float(sens_corr), float(beta))
+    tabs_np = np.asarray(tables)
+    # the shipped o0/o5 LUT pair differs by a constant log2-S offset (the
+    # temporal modulation factors out of the Daly CSF); when that holds the
+    # kernel interpolates once and offsets, halving the CSF FMA count
+    shared = bool(np.ptp(tabs_np[1] - tabs_np[0]) <= 2e-5)
     tabs = jnp.asarray(tables)
     from fovvideovdp_tpu.ops import pallas as pallas_cfg
     H, W = g_fine.shape[-2], g_fine.shape[-1]
     if (g_fine.dtype == jnp.float32 and pallas_cfg.use_pallas()
             and supports(H, W)):
-        return _expand_score2(g_fine, g_coarse, tabs, int(bkg_channel), meta2)
+        return _expand_score2(g_fine, g_coarse, tabs, int(bkg_channel), meta2,
+                              shared)
     return _expand_score2_jnp(g_fine, g_coarse, tabs, int(bkg_channel), meta2)

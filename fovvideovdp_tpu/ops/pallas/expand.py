@@ -24,11 +24,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from fovvideovdp_tpu.ops.pallas.mxu import dot3 as _dot3
+
 from fovvideovdp_tpu.ops.pyramid import K5, ceildiv
 
 _TRO = 16   # fine rows per program
 _CBO = 256  # fine cols per horizontal matmul block
-_PREC = jax.lax.Precision.HIGHEST
 
 
 def _banded_expand(n_in: int, n_out: int) -> np.ndarray:
@@ -64,8 +65,7 @@ def _expand_contrast_kernel(Bv_ref, Mh_ref, coarse_hbm, fine_ref,
     lbkg = None
     for ch in range(C):
         # vertical expand: (TRO, 16) @ (16, w2in); Bv[j, i] = 2K[2i - j]
-        v = jnp.dot(Bv_ref[:, :], scratch[ch], preferred_element_type=jnp.float32,
-                    precision=_PREC)
+        v = _dot3(Bv_ref[:, :], scratch[ch])
 
         # vertical interleave edge terms (fvvdp_lpyr_dec.py:126-142):
         #   z[0] = x[0]          -> out[0]   += 2K[0] * x[0]
@@ -93,9 +93,7 @@ def _expand_contrast_kernel(Bv_ref, Mh_ref, coarse_hbm, fine_ref,
         for b in range(Wp // _CBO):
             v_blk = jax.lax.slice(v, (0, (_CBO // 2) * b),
                                   (_TRO, (_CBO // 2) * b + _CBO // 2 + 2))
-            blocks.append(jnp.dot(v_blk, Mh_ref[:, :],
-                                  preferred_element_type=jnp.float32,
-                                  precision=_PREC))
+            blocks.append(_dot3(v_blk, Mh_ref[:, :]))
         e = jnp.concatenate(blocks, axis=1)    # (TRO, Wp)
 
         # horizontal interleave edge terms (padded col q = x col q-1)

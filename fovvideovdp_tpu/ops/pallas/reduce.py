@@ -26,6 +26,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from fovvideovdp_tpu.ops.pallas.mxu import dot3 as _dot3
+
 from fovvideovdp_tpu.ops.pyramid import K5, ceildiv
 
 _TR = 16    # output rows per program
@@ -69,11 +71,10 @@ def _reduce_kernel(Av_ref, Mh_ref, xp_hbm, out_ref, scratch, sem,
     cp.wait()
 
     # vertical 5-tap stride-2: acc[r, :] = sum_k K[k] * tile[2r + k, :]
-    # (HIGHEST precision: the MXU's default bf16 passes would cost ~1e-3
+    # (bf16x3 split: fp32 accuracy at ~half the HIGHEST MXU passes — see
+    # ops/pallas/mxu.py; DEFAULT's single bf16 pass would cost ~1e-3
     # relative error, far above the metric's parity tolerance)
-    acc = jnp.dot(Av_ref[:, :], scratch[:, :],
-                  preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST)       # (TR, Wp)
+    acc = _dot3(Av_ref[:, :], scratch[:, :])                 # (TR, Wp)
 
     # horizontal 5-tap stride-2 with zero padding:
     # ya[2 + j] = acc[j];  out[c] = sum_k K[k] * ya[2c + k]
@@ -86,9 +87,7 @@ def _reduce_kernel(Av_ref, Mh_ref, xp_hbm, out_ref, scratch, sem,
     for b in range(Wo_pad // _CB):
         ya_blk = jax.lax.slice(ya, (0, 2 * _CB * b),
                                (TR, 2 * _CB * b + 2 * _CB + 4))
-        blocks.append(jnp.dot(ya_blk, Mh_ref[:, :],
-                              preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST))
+        blocks.append(_dot3(ya_blk, Mh_ref[:, :]))
     out = jnp.concatenate(blocks, axis=1)                    # (TR, Wo_pad)
 
     # boundary-column corrections (reference semantics incl. row-parity quirk)
@@ -225,8 +224,7 @@ def _reduce_kernel_nopad(Av_ref, Mh_ref, x_hbm, out_ref, scratch, sem,
                 (rows2 - L_bot, scratch.shape[2]), scratch.dtype)
     tile = scratch[slot]
 
-    acc = jnp.dot(Av_ref[0], tile, preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST)       # (TR, Wp)
+    acc = _dot3(Av_ref[0], tile)                             # (TR, Wp)
 
     Wp = tile.shape[1]
     pad_r = 2 * Wo_pad + 4 - 2 - Wp
@@ -237,9 +235,7 @@ def _reduce_kernel_nopad(Av_ref, Mh_ref, x_hbm, out_ref, scratch, sem,
     for b in range(Wo_pad // _CB):
         ya_blk = jax.lax.slice(ya, (0, 2 * _CB * b),
                                (TR, 2 * _CB * b + 2 * _CB + 4))
-        blocks.append(jnp.dot(ya_blk, Mh_ref[:, :],
-                              preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST))
+        blocks.append(_dot3(ya_blk, Mh_ref[:, :]))
     out = jnp.concatenate(blocks, axis=1)                    # (TR, Wo_pad)
 
     col_idx = jax.lax.broadcasted_iota(jnp.int32, (TR, Wo_pad), 1)

@@ -33,7 +33,9 @@ def test_pallas_reduce_matches_jnp(shape):
     ref = np.asarray(jax.jit(_gausspyr_reduce_jnp)(x))
     got = np.asarray(jax.jit(gausspyr_reduce_pallas)(x))
     rel = np.abs(ref - got).max() / max(np.abs(ref).max(), 1.0)
-    assert rel < 1e-6, f"rel err {rel}"
+    # the kernel contracts via the bf16x3 split (ops/pallas/mxu.py): ~2^-16
+    # relative worst case; e2e JOD parity (±0.01) is asserted separately
+    assert rel < 2e-5, f"rel err {rel}"
 
 
 def test_pallas_band_score_matches_jnp():
@@ -60,7 +62,9 @@ def test_pallas_band_score_matches_jnp():
             float(p["mask_p"]), float(p["mask_q_sust"]),
             float(10.0 ** p["mask_c"]), float(corr), float(p["beta"]))
     want = np.asarray(bs._band_score_jnp(T, R, L, jnp.asarray(tbl), meta))
-    np.testing.assert_allclose(got, want, rtol=1e-5)
+    # the kernel evaluates masking in log2 space, the jnp reference in the
+    # direct pow form — same math, different transcendental rounding on TPU
+    np.testing.assert_allclose(got, want, rtol=5e-5)
 
 
 def test_pallas_band_score2_matches_jnp():
@@ -91,7 +95,8 @@ def test_pallas_band_score2_matches_jnp():
     want_t = np.asarray(bs._band_score_jnp(
         band[:, 2], band[:, 3], L, jnp.asarray(tabs[1]),
         base + (float(p["mask_q_trans"]),) + tail))
-    np.testing.assert_allclose(got, np.stack([want_s, want_t], -1), rtol=1e-5)
+    # log2-space kernel vs direct-form jnp: see tolerance note above
+    np.testing.assert_allclose(got, np.stack([want_s, want_t], -1), rtol=5e-5)
 
 
 def test_pallas_temporal_matches_jnp():
