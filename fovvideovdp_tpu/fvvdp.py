@@ -35,9 +35,14 @@ from fovvideovdp_tpu.ops.pyramid import PyramidPlan
 from fovvideovdp_tpu.video_source import fvvdp_video_source_array
 
 # Heuristic frame-block sizing: cap pixels-per-block so a 4K block still fits
-# comfortably in HBM alongside its pyramid intermediates.
-_BLOCK_PIXEL_BUDGET = 6.0e7
-_MAX_BLOCK_FRAMES = 16
+# comfortably in HBM alongside its pyramid intermediates (a 12-frame 4K block
+# keeps ~3 GB of temporaries live per in-flight dispatch, two deep), while
+# large enough to amortise per-dispatch latency (measured on v5e: 4K video
+# e2e 136 fps at B=7 vs 238 at B=12 through a high-latency transport).  The
+# block size depends only on the resolution, so one compile per resolution
+# serves any video length.
+_BLOCK_PIXEL_BUDGET = 1.0e8
+_MAX_BLOCK_FRAMES = 32
 
 
 class fvvdp:

@@ -193,14 +193,23 @@ def _expand_score_kernel(Bv_ref, Mh_ref, tabs_ref, coarse_hbm, fine_ref,
 
         lbkg = jnp.maximum(es[bkg_ch], 0.1)
         fine = fine_ref[0, :, :, start:start + cw]
-        con = [jnp.minimum((fine[ch] - es[ch]) / lbkg, 1000.0)
-               for ch in range(_C)]
+        # contrast stays UN-normalised: T - R and min(|T|, |R|) are
+        # homogeneous in 1/L_bkg and log2(L_bkg) is needed for the LUT
+        # coordinate anyway, so the four per-pixel divides become one
+        # subtraction folded into the sensitivity term below.  The
+        # reference's one-sided clip(contrast, max=1000) moves to
+        # min(d, 1000 * L_bkg) (exact: L_bkg > 0).
+        ll = jnp.log2(lbkg)
+        cap = 1000.0 * lbkg
+        con = [jnp.minimum(fine[ch] - es[ch], cap) for ch in range(_C)]
 
         # piecewise-linear table lookup in telescoped delta form:
         #   s(u) = t[0] + sum_i (t[i+1]-t[i]) * clip(u - i, 0, 1)
         # — one clip shared by both channels per knot vs the hat form's
         # sub/abs/rsub/max, and n-1 knots instead of n taps
-        u = (jnp.log2(jnp.clip(lbkg, Ymin, Ymax)) - y0) / dy
+        lYmin = float(np.log2(Ymin))
+        lYmax = float(np.log2(Ymax))
+        u = (jnp.clip(ll, lYmin, lYmax) - y0) / dy
         u = jnp.clip(u, 0.0, float(n_grid - 1))
         s_s = jnp.zeros_like(u) + tabs_ref[0, 0]
         s_t = jnp.zeros_like(u) + tabs_ref[1, 0]
@@ -243,7 +252,9 @@ def _expand_score_kernel(Bv_ref, Mh_ref, tabs_ref, coarse_hbm, fine_ref,
         l4 = float(np.log2(1e4))
         for T, R, s_log, q, is_t in ((con[0], con[1], s_s, q_s, False),
                                      (con[2], con[3], s_t, q_t, True)):
-            ls = s_log + lcorr
+            # T/R are un-normalised (see above): dividing by L_bkg is the
+            # subtraction of ll here
+            ls = s_log + lcorr - ll
             la = jnp.log2(jnp.abs(T - R)) + ls
             lm = jnp.log2(jnp.minimum(jnp.abs(T), jnp.abs(R))) + (ls + lc10)
             ld = p * la - jnp.log2(1.0 + jnp.exp2(q * lm))
