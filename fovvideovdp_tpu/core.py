@@ -578,17 +578,36 @@ class MetricCore:
                 B = new_t.shape[0]
                 if fl > 1:
                     # the Pallas kernel reads carry and block separately, so
-                    # the (fl-1+B)-frame window is never materialised in HBM
-                    R = temporal_ops.temporal_channels_pair(
+                    # the (fl-1+B)-frame window is never materialised in HBM.
+                    # Big blocks split into several kernel calls; frames are
+                    # a pure batch dim in the scorer, so score each chunk and
+                    # concatenate only the per-frame partials — never the
+                    # (F, 4, H, W) responses themselves.
+                    chunks = temporal_ops.temporal_channels_pair_chunks(
                         carry_t, new_t, carry_r, new_r, filt_np)
                 else:
-                    R = temporal_ops.temporal_channels(new_t, new_r, filt_np)
-                if tables is not None:
-                    Q, heat = self.score_frames(R, None, temp_ch=2,
-                                                fov_tables=extra[0])
+                    chunks = [temporal_ops.temporal_channels(
+                        new_t, new_r, filt_np)]
+                Qs, heats, off = [], [], 0
+                for R in chunks:
+                    nf = R.shape[0]
+                    if tables is not None:
+                        q, h = self.score_frames(R, None, temp_ch=2,
+                                                 fov_tables=extra[0])
+                    else:
+                        gaze = extra[0] if gaze_in_sig else None
+                        if gaze is not None and gaze.ndim == 2:
+                            gaze = gaze[off:off + nf]
+                        q, h = self.score_frames(R, gaze, temp_ch=2)
+                    Qs.append(q)
+                    heats.append(h)
+                    off += nf
+                if len(chunks) == 1:
+                    Q, heat = Qs[0], heats[0]
                 else:
-                    gaze = extra[0] if gaze_in_sig else None
-                    Q, heat = self.score_frames(R, gaze, temp_ch=2)
+                    Q = jnp.concatenate(Qs, axis=2)
+                    heat = (None if heats[0] is None
+                            else jnp.concatenate(heats, axis=0))
                 if fl - 1 <= 0:
                     c_t, c_r = new_t[:0], new_r[:0]
                 elif fl - 1 <= B:

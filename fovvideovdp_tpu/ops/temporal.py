@@ -92,14 +92,23 @@ def apply_temporal_filters(padded: jnp.ndarray, F: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(outs, axis=1)
 
 
-def temporal_channels_pair(carry_t: jnp.ndarray, new_t: jnp.ndarray,
-                           carry_r: jnp.ndarray, new_r: jnp.ndarray,
-                           F: np.ndarray) -> jnp.ndarray:
-    """:func:`temporal_channels` with the padded window supplied in two
-    pieces: the fl-1 carried frames and the fresh block.  On TPU the Pallas
-    kernel reads both pieces directly, so the streaming step never
-    materialises their concatenation in HBM (2 x ~460 MB of pure copy per
-    4K block); elsewhere it concatenates and falls back.
+# One row-tile of the pair kernel must fit in VMEM alongside its outputs;
+# past this estimate the block splits over output frames (tests shrink it
+# to exercise the split on small shapes).
+_VMEM_SPLIT_BYTES = (155 << 20) // 10
+
+
+def temporal_channels_pair_chunks(carry_t: jnp.ndarray, new_t: jnp.ndarray,
+                                  carry_r: jnp.ndarray, new_r: jnp.ndarray,
+                                  F: np.ndarray) -> list:
+    """Like :func:`temporal_channels_pair`, but returns the output as a LIST
+    of frame-axis chunks (in order) instead of one array.
+
+    Big frame blocks split into several Pallas kernel calls (the kernel
+    keeps a whole row tile's outputs in VMEM, see below); concatenating the
+    chunk outputs is a multi-GB HBM copy per 4K block that the caller can
+    avoid entirely, because frames are a pure batch dimension downstream —
+    score each chunk and concatenate only the per-frame partials.
     """
     from fovvideovdp_tpu.ops import pallas as pallas_cfg
     F = np.asarray(F, dtype=np.float32)
@@ -114,13 +123,13 @@ def temporal_channels_pair(carry_t: jnp.ndarray, new_t: jnp.ndarray,
             temporal_channels_pair_pallas)
         Wp = -(-carry_t.shape[2] // 128) * 128
         bytes_tile8 = (2 * (ncarry + n_new) + 4 * n_out) * Wp * 4 * 8 * 2
-        if bytes_tile8 > (155 << 20) // 10 and n_out > 1:
+        if bytes_tile8 > _VMEM_SPLIT_BYTES and n_out > 1:
             # split over output frames (windows overlap by fl - 1); each
             # half's carry is a pure slice when the split point clears the
             # window, else a small (fl-1)-frame concat
             half = n_out // 2
-            a = temporal_channels_pair(carry_t, new_t[:half], carry_r,
-                                       new_r[:half], F)
+            a = temporal_channels_pair_chunks(carry_t, new_t[:half], carry_r,
+                                              new_r[:half], F)
             if half >= fl - 1:
                 c_t2, c_r2 = new_t[half - (fl - 1):half], \
                     new_r[half - (fl - 1):half]
@@ -129,13 +138,26 @@ def temporal_channels_pair(carry_t: jnp.ndarray, new_t: jnp.ndarray,
                                        axis=0)[-(fl - 1):]
                 c_r2 = jnp.concatenate([carry_r, new_r[:half]],
                                        axis=0)[-(fl - 1):]
-            b = temporal_channels_pair(c_t2, new_t[half:], c_r2,
-                                       new_r[half:], F)
-            return jnp.concatenate([a, b], axis=0)
-        return temporal_channels_pair_pallas(carry_t, new_t, carry_r, new_r,
-                                             F)
-    return temporal_channels(jnp.concatenate([carry_t, new_t], axis=0),
-                             jnp.concatenate([carry_r, new_r], axis=0), F)
+            b = temporal_channels_pair_chunks(c_t2, new_t[half:], c_r2,
+                                              new_r[half:], F)
+            return a + b
+        return [temporal_channels_pair_pallas(carry_t, new_t, carry_r, new_r,
+                                              F)]
+    return [temporal_channels(jnp.concatenate([carry_t, new_t], axis=0),
+                              jnp.concatenate([carry_r, new_r], axis=0), F)]
+
+
+def temporal_channels_pair(carry_t: jnp.ndarray, new_t: jnp.ndarray,
+                           carry_r: jnp.ndarray, new_r: jnp.ndarray,
+                           F: np.ndarray) -> jnp.ndarray:
+    """:func:`temporal_channels` with the padded window supplied in two
+    pieces: the fl-1 carried frames and the fresh block.  On TPU the Pallas
+    kernel reads both pieces directly, so the streaming step never
+    materialises their concatenation in HBM (2 x ~460 MB of pure copy per
+    4K block); elsewhere it concatenates and falls back.
+    """
+    chunks = temporal_channels_pair_chunks(carry_t, new_t, carry_r, new_r, F)
+    return chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
 
 
 def temporal_channels(padded_t: jnp.ndarray, padded_r: jnp.ndarray,

@@ -151,3 +151,44 @@ def test_temporal_pair_matches_concat():
     with pallas_cfg.forced(True, interpret=True):
         got_pl = np.asarray(t.temporal_channels_pair(ct, nt, cr, nr, F))
     np.testing.assert_allclose(got_pl, want, rtol=1e-5, atol=1e-4)
+
+
+def test_temporal_pair_chunked_split(monkeypatch):
+    """With the VMEM budget shrunk, the pair kernel must split the block
+    over output frames: several chunks that concatenate to the reference
+    (the streaming step scores each chunk separately)."""
+    from fovvideovdp_tpu.ops import temporal as t
+    rng = np.random.default_rng(11)
+    F = t.temporal_filters(30.0, 8)
+    fl = F.shape[1]
+    B = 7
+    ct = jnp.asarray(rng.random((fl - 1, 16, 128), dtype=np.float32) * 100)
+    cr = jnp.asarray(rng.random((fl - 1, 16, 128), dtype=np.float32) * 100)
+    nt = jnp.asarray(rng.random((B, 16, 128), dtype=np.float32) * 100)
+    nr = jnp.asarray(rng.random((B, 16, 128), dtype=np.float32) * 100)
+    want = np.asarray(t.temporal_channels(jnp.concatenate([ct, nt]),
+                                          jnp.concatenate([cr, nr]), F))
+    monkeypatch.setattr(t, "_VMEM_SPLIT_BYTES", 1 << 16)
+    with pallas_cfg.forced(True, interpret=True):
+        chunks = t.temporal_channels_pair_chunks(ct, nt, cr, nr, F)
+    assert len(chunks) > 1
+    assert sum(c.shape[0] for c in chunks) == B
+    got = np.concatenate([np.asarray(c) for c in chunks], axis=0)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_streaming_step_chunked_scoring(goldens, monkeypatch):
+    """The streaming step must give the golden JOD when the temporal kernel
+    splits the block into chunks scored separately (core.py wires the
+    per-chunk partial concatenation)."""
+    from fovvideovdp_tpu import fvvdp
+    from fovvideovdp_tpu.ops import temporal as t
+    g = goldens("video_path_replicate")
+    monkeypatch.setattr(t, "_VMEM_SPLIT_BYTES", 1 << 16)
+    with pallas_cfg.forced(True, interpret=True):
+        fv = fvvdp(display_name="standard_fhd", block_frames=8)
+        Q, stats = fv.predict(g["test"], g["ref"], dim_order="HWCF",
+                              frames_per_second=float(g["fps"]))
+    assert abs(Q - float(g["Q_jod"])) <= 0.01
+    np.testing.assert_allclose(stats["Q_per_ch"], g["Q_per_ch"], rtol=2e-3,
+                               atol=2e-4)
