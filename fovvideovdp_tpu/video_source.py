@@ -130,9 +130,9 @@ def _gather_block_luminance(video, idx, dm, rgb2y):
 _UPLOAD_CHUNK_BYTES = 16 << 20
 
 
-@functools.partial(jax.jit, static_argnames=("in_dims", "shape", "dtype"))
-def _assemble_cfhw(flat, in_dims, shape, dtype):
-    return _reshuffle_dims_jnp(flat.view(dtype).reshape(shape), in_dims, "BCFHW")[0]
+@functools.partial(jax.jit, static_argnames=("in_dims", "shape"))
+def _assemble_cfhw(flat, in_dims, shape):
+    return _reshuffle_dims_jnp(flat.reshape(shape), in_dims, "BCFHW")[0]
 
 
 def _upload_as_cfhw(raw: np.ndarray, in_dims: str) -> jnp.ndarray:
@@ -140,16 +140,20 @@ def _upload_as_cfhw(raw: np.ndarray, in_dims: str) -> jnp.ndarray:
 
     The transfer goes up in ~16MB chunks: some transports degrade badly on
     large single transfers, and chunking also overlaps host paging with the
-    copy.  Reassembly + dim reshuffle happen on device.
+    copy.  Reassembly + dim reshuffle happen on device.  Chunks are cut on
+    element boundaries in the array's own dtype — a flat uint8 view with a
+    device-side bitcast compiles to a u32[N,4] intermediate whose minor dim
+    TPU tiling pads 4 -> 128, a 32x HBM blow-up on multi-byte dtypes.
     """
-    flat = np.ascontiguousarray(raw).view(np.uint8).reshape(-1)
-    if flat.nbytes <= _UPLOAD_CHUNK_BYTES:
+    flat = np.ascontiguousarray(raw).reshape(-1)
+    chunk = max(1, _UPLOAD_CHUNK_BYTES // raw.dtype.itemsize)
+    if flat.size <= chunk:
         parts = [jax.device_put(flat)]
     else:
-        parts = [jax.device_put(flat[off:off + _UPLOAD_CHUNK_BYTES])
-                 for off in range(0, flat.nbytes, _UPLOAD_CHUNK_BYTES)]
+        parts = [jax.device_put(flat[off:off + chunk])
+                 for off in range(0, flat.size, chunk)]
     flat_dev = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
-    return _assemble_cfhw(flat_dev, in_dims, raw.shape, raw.dtype.name)
+    return _assemble_cfhw(flat_dev, in_dims, raw.shape)
 
 
 class fvvdp_video_source(ABC):

@@ -183,3 +183,22 @@ def test_pixel_tables_match_trilinear():
     S_ref = np.asarray(csf_mod.sensitivity_trilinear(
         lut, jnp.broadcast_to(rho, L.shape), L, jnp.broadcast_to(ecc, L.shape)))
     np.testing.assert_allclose(S_fast, S_ref, rtol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# device upload of multi-byte dtypes: the flat-uint8 + device-side bitcast
+# scheme compiled to a u32[N,4] intermediate whose minor dim TPU tiling pads
+# 4 -> 128 (a 32x HBM blow-up, OOM on 20-frame float32 FHD inputs).  Chunks
+# must be cut on element boundaries in the native dtype instead.
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16, np.float32])
+def test_upload_as_cfhw_native_dtype_chunks(monkeypatch, dtype):
+    from fovvideovdp_tpu import video_source as vs
+    rng = np.random.RandomState(5)
+    raw = rng.rand(9, 11, 3, 4)  # HWCF
+    raw = (raw * 200).astype(dtype)
+    monkeypatch.setattr(vs, "_UPLOAD_CHUNK_BYTES", 257)  # force many chunks
+    got = np.asarray(vs._upload_as_cfhw(raw, "HWCF"))
+    want = np.transpose(raw, (2, 3, 0, 1))  # CFHW
+    assert got.dtype == raw.dtype
+    np.testing.assert_array_equal(got, want)
