@@ -30,6 +30,11 @@ from jax.experimental.pallas import tpu as pltpu
 from fovvideovdp_tpu.ops.pyramid import ceildiv
 
 _VMEM_BUDGET = 8 << 20  # input+output tile bytes per program
+# Mosaic's default VMEM cap rejects the TR=8 tile of a full 4K frame block
+# past ~B=12; raising it keeps big blocks in ONE kernel call (v5e has 128 MB
+# of VMEM).  Splitting instead costs ~55% more HBM traffic re-reading the
+# fl-1 overlap frames per chunk: measured 19.4 -> 12.5 ms per 4K B=12 block.
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 << 20)
 
 
 def _temporal_kernel(t_ref, r_ref, out_ref, *, taps, n_out):
@@ -80,6 +85,7 @@ def _temporal_call(padded_t, padded_r, taps, interpret=False):
         out_specs=pl.BlockSpec((n_out, 4, TR, Wp), lambda i: (0, 0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_out, 4, Hp, Wp), padded_t.dtype),
+        compiler_params=None if interpret else _VMEM_LIMIT,
         interpret=interpret,
     )(padded_t, padded_r)
     return out[:, :, :H, :W]
@@ -145,6 +151,7 @@ def _temporal_call_pair(carry_t, new_t, carry_r, new_r, taps,
         out_specs=pl.BlockSpec((n_out, 4, TR, Wp), lambda i: (0, 0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_out, 4, Hp, Wp), new_t.dtype),
+        compiler_params=None if interpret else _VMEM_LIMIT,
         interpret=interpret,
     )(carry_t, new_t, carry_r, new_r)
     return out[:, :, :H, :W]

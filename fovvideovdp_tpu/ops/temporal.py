@@ -94,8 +94,11 @@ def apply_temporal_filters(padded: jnp.ndarray, F: jnp.ndarray) -> jnp.ndarray:
 
 # One row-tile of the pair kernel must fit in VMEM alongside its outputs;
 # past this estimate the block splits over output frames (tests shrink it
-# to exercise the split on small shapes).
-_VMEM_SPLIT_BYTES = (155 << 20) // 10
+# to exercise the split on small shapes).  The kernel raises Mosaic's VMEM
+# cap to 100 MB (ops/pallas/temporal.py:_VMEM_LIMIT), so only very large
+# frame blocks (> ~55 output frames at 4K) split; staying unchunked avoids
+# re-reading the fl-1 overlap frames per chunk (19.4 -> 12.5 ms at 4K B=12).
+_VMEM_SPLIT_BYTES = 88 << 20
 
 
 def temporal_channels_pair_chunks(carry_t: jnp.ndarray, new_t: jnp.ndarray,
