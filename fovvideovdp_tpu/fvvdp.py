@@ -35,13 +35,14 @@ from fovvideovdp_tpu.ops.pyramid import PyramidPlan
 from fovvideovdp_tpu.video_source import fvvdp_video_source_array
 
 # Heuristic frame-block sizing: cap pixels-per-block so a 4K block still fits
-# comfortably in HBM alongside its pyramid intermediates (a 12-frame 4K block
-# keeps ~3 GB of temporaries live per in-flight dispatch, two deep), while
-# large enough to amortise per-dispatch latency (measured on v5e: 4K video
-# e2e 136 fps at B=7 vs 238 at B=12 through a high-latency transport).  The
-# block size depends only on the resolution, so one compile per resolution
-# serves any video length.
-_BLOCK_PIXEL_BUDGET = 1.0e8
+# comfortably in HBM alongside its pyramid intermediates (a 30-frame 4K block
+# keeps ~6 GB of temporaries live per in-flight dispatch on a 16 GB chip),
+# while large enough to amortise per-dispatch latency and the fl-1 carry
+# frames the temporal window re-reads each block (measured on v5e: 4K video
+# e2e 279 fps at B=12 vs 316 at B=30 — the unchunked temporal kernel keeps
+# whole blocks of this size in one VMEM pass).  The block size depends only
+# on the resolution, so one compile per resolution serves any video length.
+_BLOCK_PIXEL_BUDGET = 2.5e8
 _MAX_BLOCK_FRAMES = 32
 
 
