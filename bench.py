@@ -12,13 +12,47 @@ channels, pyramid, CSF, masking, pooling) is timed end-to-end over it.
 Ancillary numbers (first-call compile, per-image latency) go to stderr.
 """
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 
+def wait_for_backend(attempts=8, probe_timeout=90, retry_sleep=60):
+    """Probe TPU-backend initialisation in a *subprocess* before using it.
+
+    ``jax.devices()`` blocks indefinitely inside PJRT client creation when the
+    device tunnel is wedged (e.g. an unreleased grant from a killed process) —
+    a state observed in this environment.  A hung child can be killed; a hung
+    in-process C call cannot.  Retry for a few minutes so a transient wedge
+    clears, then fail loudly instead of hanging the harness.
+    """
+    probe = ("import jax; import jax.numpy as jnp; "
+             "jnp.ones(8).sum().block_until_ready(); "
+             "print(jax.devices()[0].platform)")
+    for i in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, text=True,
+                               timeout=probe_timeout, env=os.environ.copy())
+            if r.returncode == 0:
+                return
+            err = r.stderr.strip().splitlines()
+            err = err[-1] if err else "unknown error"
+        except subprocess.TimeoutExpired:
+            err = f"backend init hung > {probe_timeout}s"
+        print(f"# backend probe {i + 1}/{attempts} failed: {err}",
+              file=sys.stderr, flush=True)
+        if i + 1 < attempts:
+            time.sleep(retry_sleep)
+    raise SystemExit("device backend unavailable (all probes failed); "
+                     "not starting the benchmark against a wedged device")
+
+
 def main():
+    wait_for_backend()
     import jax
     from fovvideovdp_tpu import fvvdp
     from fovvideovdp_tpu.video_source import fvvdp_video_source_array

@@ -361,7 +361,7 @@ class fvvdp:
     # batched scoring (N independent pairs in one SPMD program)
     # ------------------------------------------------------------------
     def predict_batch(self, test_conts, reference_conts, dim_order="BCFHW",
-                      frames_per_second=0, mesh=None):
+                      frames_per_second=0, mesh=None, fixation_point=None):
         """Score a batch of N test/reference pairs in ONE SPMD program.
 
         The batch axis is sharded over the device mesh (all devices by
@@ -373,7 +373,10 @@ class fvvdp:
         Inputs follow ``predict`` conventions but with a leading batch axis
         (any ``dim_order`` containing 'B').  Videos are scored whole-clip in
         device memory: N * n_frames * H * W floats must fit across the mesh.
-        Foveated batch scoring is not supported yet.
+        Foveated batches use ONE fixed ``fixation_point`` (x, y) shared by
+        all pairs (default: the screen centre) — the CSF collapses once to
+        per-pixel tables that replicate across the mesh; per-pair or moving
+        gaze is not supported in batch mode (score those pairs singly).
 
         Returns (Q_JOD (N,) np.ndarray, stats dict).
         """
@@ -386,7 +389,16 @@ class fvvdp:
                                                   reshuffle_dims)
 
         if self.foveated:
-            raise RuntimeError("predict_batch does not support foveated mode")
+            if self.content_mapping is not None:
+                raise RuntimeError("predict_batch does not support foveated "
+                                   "content mapping")
+            fp = np.asarray([0, 0] if fixation_point is None
+                            else fixation_point, dtype=np.float32)
+            if fp.ndim != 1 or fp.shape[0] != 2:
+                raise RuntimeError(
+                    "predict_batch supports one fixed fixation point (x, y) "
+                    "shared by all pairs; score per-pair/moving-gaze content "
+                    "with predict instead")
         if "B" not in dim_order.upper():
             raise RuntimeError("predict_batch needs a batch axis; include "
                                "'B' in dim_order")
@@ -434,10 +446,16 @@ class fvvdp:
             lum_r = jnp.concatenate([lum_r, jnp.repeat(lum_r[-1:], pad, axis=0)])
 
         core = self._get_core(W, H)
+        fov_tables = None
+        if self.foveated:
+            if fixation_point is None:
+                fp = np.asarray([W // 2, H // 2], dtype=np.float32)
+            fov_tables = core.fov_tables((float(fp[0]), float(fp[1])))
         stats = {"width": W, "height": H, "N_frames": F, "N_pairs": N,
                  "frames_per_second": frames_per_second}
         if F == 1:
-            fn = make_batch_scorer(core, mesh, self.parameters)
+            fn = make_batch_scorer(core, mesh, self.parameters,
+                                   fov_tables=fov_tables)
             jods = fn(lum_t[:, 0], lum_r[:, 0])
         else:
             fl = temporal_ops.filter_len_for_fps(frames_per_second)
@@ -447,7 +465,8 @@ class fvvdp:
                 F, fl, self.temp_padding))
             pt = jnp.take(lum_t, idx, axis=1)
             pr = jnp.take(lum_r, idx, axis=1)
-            fn = make_batch_video_scorer(core, filt, mesh, self.parameters)
+            fn = make_batch_video_scorer(core, filt, mesh, self.parameters,
+                                         fov_tables=fov_tables)
             jods, Q_pc = fn(pt, pr)
             stats["Q_per_ch"] = np.asarray(Q_pc)[:, :, :N]
         return np.asarray(jods)[:N], stats

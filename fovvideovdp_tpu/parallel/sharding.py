@@ -111,7 +111,7 @@ def shard_video_block_fn(core, filt: np.ndarray, mesh: Mesh):
     return jax.jit(fn, in_shardings=(seq_sharding, seq_sharding) + gaze_shard)
 
 
-def make_batch_scorer(core, mesh: Mesh, pool_params: dict):
+def make_batch_scorer(core, mesh: Mesh, pool_params: dict, fov_tables=None):
     """Batch-of-image-pairs scorer sharded over the whole mesh.
 
     The reference farms independent pairs out as one SLURM process per GPU
@@ -119,6 +119,11 @@ def make_batch_scorer(core, mesh: Mesh, pool_params: dict):
     program: inputs (N, H, W) luminance with N divisible by the device
     count; each device scores its local pairs with the single-chip spatial
     core (Pallas engaged) and pools them to per-pair JODs.
+
+    ``fov_tables``: static-gaze per-pixel CSF tables (core.fov_tables) for
+    foveated scoring with one fixation point shared by all pairs; the tables
+    are replicated across the mesh (they depend on the display geometry, not
+    on the pair).
 
     Returns a jitted fn (tests, refs) -> (N,) JOD scores.
     """
@@ -136,27 +141,34 @@ def make_batch_scorer(core, mesh: Mesh, pool_params: dict):
             pool_params["beta_t"], pool_params["jod_a"],
             pool_params["log_jod_exp"])
 
-    def score_shard(tests, refs):  # (n_loc, H, W) each
+    def score_shard(tests, refs, *maybe_tabs):  # (n_loc, H, W) each
+        tabs = maybe_tabs[0] if maybe_tabs else None
         R = jnp.stack([tests, refs], axis=1)          # (n_loc, 2, H, W)
-        Q, _ = core.score_frames(R, None, temp_ch=1)  # (n_bands, 2, n_loc)
+        Q, _ = core.score_frames(R, None, temp_ch=1,
+                                 fov_tables=tabs)     # (n_bands, 2, n_loc)
         return jax.vmap(pool_one, in_axes=2)(Q)       # (n_loc,)
 
+    tab_specs = () if fov_tables is None else (P(),)  # replicated pytree
     sharded = jax.shard_map(score_shard, mesh=mesh,
-                            in_specs=(P(axes, None, None),) * 2,
+                            in_specs=(P(axes, None, None),) * 2 + tab_specs,
                             out_specs=P(axes), check_vma=False)
 
-    def fn(tests, refs):
+    def fn(tests, refs, *maybe_tabs):
         if tests.shape[0] % n_dev != 0:
             raise ValueError(f"batch {tests.shape[0]} not divisible by "
                              f"{n_dev} devices; pad the batch")
-        return sharded(tests, refs)
+        return sharded(tests, refs, *maybe_tabs)
 
     batch_sharding = NamedSharding(mesh, P(axes, None, None))
-    return jax.jit(fn, in_shardings=(batch_sharding, batch_sharding))
+    if fov_tables is None:
+        return jax.jit(fn, in_shardings=(batch_sharding, batch_sharding))
+    repl = jax.tree.map(lambda _: NamedSharding(mesh, P()), fov_tables)
+    jitted = jax.jit(fn, in_shardings=(batch_sharding, batch_sharding, repl))
+    return lambda tests, refs: jitted(tests, refs, fov_tables)
 
 
 def make_batch_video_scorer(core, filt: np.ndarray, mesh: Mesh,
-                            pool_params: dict):
+                            pool_params: dict, fov_tables=None):
     """Batch-of-video-pairs scorer: N independent clips in one SPMD program.
 
     Inputs (padded_tests, padded_refs): (N, B + fl - 1, H, W) luminance with
@@ -185,7 +197,8 @@ def make_batch_video_scorer(core, filt: np.ndarray, mesh: Mesh,
             pool_params["beta_tch"], pool_params["beta_t"],
             pool_params["jod_a"], pool_params["log_jod_exp"])
 
-    def score_shard(pt, pr):  # (n_loc, B + fl - 1, H, W)
+    def score_shard(pt, pr, *maybe_tabs):  # (n_loc, B + fl - 1, H, W)
+        tabs = maybe_tabs[0] if maybe_tabs else None
         n_loc = pt.shape[0]
         B = pt.shape[1] - fl + 1
         Rt = jax.vmap(lambda x: temporal_ops.apply_temporal_filters(x, F_filt))(pt)
@@ -194,24 +207,31 @@ def make_batch_video_scorer(core, filt: np.ndarray, mesh: Mesh,
         R = jnp.stack([Rt[:, :, 0], Rr[:, :, 0], Rt[:, :, 1], Rr[:, :, 1]],
                       axis=2)                          # (n_loc, B, 4, H, W)
         R = R.reshape((n_loc * B,) + R.shape[2:])
-        Q, _ = core.score_frames(R, None, temp_ch=2)   # (n_bands, 2, n_loc*B)
+        Q, _ = core.score_frames(R, None, temp_ch=2,
+                                 fov_tables=tabs)      # (n_bands, 2, n_loc*B)
         Q = Q.reshape(Q.shape[0], 2, n_loc, B)
         jods = jax.vmap(pool_one, in_axes=2)(Q)        # (n_loc,)
         return jods, Q
 
+    tab_specs = () if fov_tables is None else (P(),)  # replicated pytree
     sharded = jax.shard_map(score_shard, mesh=mesh,
-                            in_specs=(P(axes, None, None, None),) * 2,
+                            in_specs=(P(axes, None, None, None),) * 2
+                            + tab_specs,
                             out_specs=(P(axes), P(None, None, axes, None)),
                             check_vma=False)
 
-    def fn(padded_tests, padded_refs):
+    def fn(padded_tests, padded_refs, *maybe_tabs):
         if padded_tests.shape[0] % n_dev != 0:
             raise ValueError(f"batch {padded_tests.shape[0]} not divisible "
                              f"by {n_dev} devices; pad the batch")
-        return sharded(padded_tests, padded_refs)
+        return sharded(padded_tests, padded_refs, *maybe_tabs)
 
     batch_sharding = NamedSharding(mesh, P(axes, None, None, None))
-    return jax.jit(fn, in_shardings=(batch_sharding, batch_sharding))
+    if fov_tables is None:
+        return jax.jit(fn, in_shardings=(batch_sharding, batch_sharding))
+    repl = jax.tree.map(lambda _: NamedSharding(mesh, P()), fov_tables)
+    jitted = jax.jit(fn, in_shardings=(batch_sharding, batch_sharding, repl))
+    return lambda pt, pr: jitted(pt, pr, fov_tables)
 
 
 def shard_image_fn(core, mesh: Mesh):

@@ -8,8 +8,12 @@ On-hardware mode: ``pytest -m tpu`` (or FVVDP_TEST_TPU=1) skips the CPU pin
 and runs the tests marked ``tpu`` — end-to-end JOD parity on the real chip
 with the Pallas kernels engaged (see test_tpu_e2e.py).
 
-Note: the environment force-registers the TPU ('axon') backend regardless of
-JAX_PLATFORMS, so we pin the default device to CPU explicitly.
+Note: the environment force-registers the TPU ('axon') backend at interpreter
+start (sitecustomize imports jax), which locks in the JAX_PLATFORMS read from
+the launch environment — mutating os.environ afterwards has no effect.  The
+config key itself must be updated post-import, or any jax.devices() call
+initialises the TPU backend as a side effect (and *blocks* when the device
+tunnel is wedged, which has happened — CPU tests must never depend on it).
 """
 import os
 import sys
@@ -40,6 +44,7 @@ import jax  # noqa: E402
 
 if not TPU_MODE:
     try:
+        jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_default_device", jax.devices("cpu")[0])
     except Exception:
         pass

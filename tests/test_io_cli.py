@@ -79,6 +79,10 @@ def test_yuv_video_source_scoring(yuv_pair):
 def _run_cli(args, cwd=None):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    # This environment's sitecustomize force-registers the TPU backend and
+    # overrides jax_platforms in-process; dropping its gate keeps the child
+    # CPU-only (a wedged device tunnel must not hang a CPU test).
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     return subprocess.run(
         [sys.executable, "-m", "fovvideovdp_tpu.run_fvvdp"] + args,
         capture_output=True, text=True, env=env, cwd=cwd or os.getcwd(),

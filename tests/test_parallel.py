@@ -177,3 +177,30 @@ def test_predict_batch_matches_predict():
     for i in range(N):
         Qi, _ = fv.predict(tst[i, ..., 0], ref[i, ..., 0], dim_order="HWC")
         np.testing.assert_allclose(jods_img[i], Qi, rtol=1e-5, atol=1e-4)
+
+
+def test_predict_batch_foveated_fixed_gaze():
+    """Foveated predict_batch (one shared fixation point -> per-pixel CSF
+    tables replicated across the mesh) must equal per-pair predict."""
+    from fovvideovdp_tpu import fvvdp
+
+    rng = np.random.RandomState(11)
+    N, H, W = 3, 32, 48
+    ref = (rng.rand(N, H, W, 3) * 255).astype(np.uint8)
+    tst = np.clip(ref.astype(np.int16) + rng.randint(-25, 25, ref.shape),
+                  0, 255).astype(np.uint8)
+    gaze = np.asarray([10.0, 20.0], np.float32)  # off-centre fixed gaze
+
+    fv = fvvdp(display_name="standard_hmd", foveated=True)
+    jods, _ = fv.predict_batch(tst, ref, dim_order="BHWC",
+                               fixation_point=gaze)
+    assert jods.shape == (N,)
+    for i in range(N):
+        Qi, _ = fv.predict(tst[i], ref[i], dim_order="HWC",
+                           fixation_point=gaze)
+        np.testing.assert_allclose(jods[i], Qi, rtol=1e-5, atol=1e-4)
+
+    # per-pair / moving gaze is rejected loudly, not silently mis-scored
+    with pytest.raises(RuntimeError):
+        fv.predict_batch(tst, ref, dim_order="BHWC",
+                         fixation_point=np.zeros((N, 2), np.float32))

@@ -27,6 +27,10 @@ def main():
                          "block; foveated = eccentricity-dependent CSF")
     args = ap.parse_args()
 
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1]))
+    from bench import wait_for_backend
+    wait_for_backend()
+
     from fovvideovdp_tpu import fvvdp
     from fovvideovdp_tpu.video_source import fvvdp_video_source_array
 
