@@ -91,6 +91,7 @@ class fvvdp:
         self._luts = tuple(self.csf_cache.get(o, self.csf_sigma, self.k_cm)
                            for o in self.omega)
         self._cores: Dict = {}
+        self._shard_fns: Dict = {}  # compiled sharded scorers, keyed per mesh
 
     # ------------------------------------------------------------------
     def load_config(self, parameter_overrides=None):
@@ -148,13 +149,19 @@ class fvvdp:
 
     # ------------------------------------------------------------------
     def predict(self, test_cont, reference_cont, dim_order="BCFHW",
-                frames_per_second=0, fixation_point=None):
-        """Predict quality for arrays (numpy/JAX). Returns (Q_JOD, stats)."""
+                frames_per_second=0, fixation_point=None, mesh=None):
+        """Predict quality for arrays (numpy/JAX). Returns (Q_JOD, stats).
+
+        ``mesh``: an optional ``jax.sharding.Mesh`` (e.g. ``make_mesh()``
+        from :mod:`fovvideovdp_tpu.parallel`) to stream ONE video over
+        several chips — output frames shard across the mesh and each device
+        runs the single-chip spatial core on its local frames."""
         test_vs = fvvdp_video_source_array(
             test_cont, reference_cont, frames_per_second, dim_order=dim_order,
             display_photometry=self.display_photometry,
             color_space_name=self.color_space)
-        return self.predict_video_source(test_vs, fixation_point=fixation_point)
+        return self.predict_video_source(test_vs, fixation_point=fixation_point,
+                                         mesh=mesh)
 
     def _get_core(self, width: int, height: int) -> MetricCore:
         key = (width, height, self.foveated, self.heatmap,
@@ -173,14 +180,36 @@ class fvvdp:
                 band_callback=self.band_callback, peak_luminance=peak)
         return self._cores[key]
 
+    def _get_sharded_fn(self, key, filt=None):
+        """Cache sharded scorers so repeat predicts reuse the compiled SPMD
+        program (a fresh shard_map/jit per call would recompile every time)."""
+        if key not in self._shard_fns:
+            from fovvideovdp_tpu.parallel import (shard_image_fn,
+                                                  shard_video_block_step_fn)
+            kind, core, mesh = key[0], key[1], key[2]
+            if kind == "image":
+                self._shard_fns[key] = shard_image_fn(core, mesh)
+            else:
+                _, _, _, _, static_gaze, log_c = key
+                self._shard_fns[key] = shard_video_block_step_fn(
+                    core, filt, mesh, static_gaze=static_gaze,
+                    log_contrast=log_c)
+        return self._shard_fns[key]
+
     def _pick_block_size(self, height: int, width: int, n_frames: int) -> int:
         if self.block_frames is not None:
             return max(1, min(self.block_frames, n_frames))
         by_mem = int(_BLOCK_PIXEL_BUDGET // (height * width))
         return int(max(1, min(_MAX_BLOCK_FRAMES, by_mem, n_frames)))
 
-    def predict_video_source(self, vid_source, fixation_point=None):
+    def predict_video_source(self, vid_source, fixation_point=None, mesh=None):
         height, width, N_frames = vid_source.get_video_size()
+
+        n_dev = 1
+        if mesh is not None:
+            n_dev = int(np.prod(mesh.devices.shape))
+            if n_dev == 1:
+                mesh = None
 
         if fixation_point is None:
             fixation_point = np.array([width // 2, height // 2])
@@ -212,7 +241,16 @@ class fvvdp:
         if is_image:
             t, r = vid_source.get_luminance_block(0, 1)
             t, r = _enc(t), _enc(r)
-            fn = core.image_fn(static_gaze=static_gaze)
+            if mesh is not None and not self.foveated:
+                # one lone image: rows shard over the mesh's 'space' axis
+                # (for throughput over many images use predict_batch instead)
+                fn = self._get_sharded_fn(("image", core, mesh))
+            else:
+                if mesh is not None:
+                    logging.warning("mesh is ignored for single foveated "
+                                    "images; use predict_batch for foveated "
+                                    "batches")
+                fn = core.image_fn(static_gaze=static_gaze)
             if pass_gaze:
                 gaze = self._gaze_for_frames(fixation_point, 0, 1, N_frames)
                 Q_per_ch, heat = fn(t[0], r[0], jnp.asarray(gaze))
@@ -227,6 +265,9 @@ class fvvdp:
         elif not self.do_temporal_channels:
             # Ablation: score every video frame as an independent image
             # (matlab/fvvdp_core.m:73,112).
+            if mesh is not None:
+                logging.warning("mesh is ignored for the do_temporal_channels"
+                                "=False ablation path")
             B = self._pick_block_size(height, width, N_frames)
             Q_per_ch = np.zeros((plan.height, 2, N_frames), dtype=np.float32)
             fn = core.image_block_fn(static_gaze=static_gaze)
@@ -269,10 +310,18 @@ class fvvdp:
             carry_t, carry_r = _enc(carry_t), _enc(carry_r)
 
             B = self._pick_block_size(height, width, N_frames)
+            if mesh is not None:
+                # shard output frames over the mesh: blocks must split evenly
+                B = -(-B // n_dev) * n_dev
             Q_per_ch = np.zeros((plan.height, 2, N_frames), dtype=np.float32)
             stream_idx = pad_idx[fl - 1:]  # frame index feeding each output frame
-            fn = core.video_block_step_fn(filt, static_gaze=static_gaze,
-                                          log_contrast=log_c)
+            if mesh is not None:
+                fn = self._get_sharded_fn(("videostep", core, mesh,
+                                           filt.tobytes(), static_gaze, log_c),
+                                          filt=filt)
+            else:
+                fn = core.video_block_step_fn(filt, static_gaze=static_gaze,
+                                              log_contrast=log_c)
 
             # The block loop is software-pipelined: device work for block k+1
             # is dispatched before block k's results are pulled to the host,

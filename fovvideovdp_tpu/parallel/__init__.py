@@ -13,8 +13,10 @@ from fovvideovdp_tpu.parallel.sharding import (
     make_batch_scorer,
     make_batch_video_scorer,
     shard_video_block_fn,
+    shard_video_block_step_fn,
     shard_image_fn,
 )
 
 __all__ = ["make_mesh", "make_batch_scorer", "make_batch_video_scorer",
-           "shard_video_block_fn", "shard_image_fn"]
+           "shard_video_block_fn", "shard_video_block_step_fn",
+           "shard_image_fn"]

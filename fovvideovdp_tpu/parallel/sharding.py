@@ -111,6 +111,92 @@ def shard_video_block_fn(core, filt: np.ndarray, mesh: Mesh):
     return jax.jit(fn, in_shardings=(seq_sharding, seq_sharding) + gaze_shard)
 
 
+def shard_video_block_step_fn(core, filt: np.ndarray, mesh: Mesh,
+                              static_gaze=None, log_contrast: bool = False):
+    """Sharded streaming step: the multi-chip analog of
+    MetricCore.video_block_step_fn (same carry-in/carry-out contract), so
+    ``fvvdp.predict`` can stream ONE long video over a whole mesh.
+
+    fn(carry_t, carry_r, new_t (B, H, W), new_r [, gaze (B, 2)]) ->
+    (Q_per_ch, heatmap | None, carry_t', carry_r')
+
+    The temporal filters run under plain jit — XLA reshards the fl-1 frame
+    halos between neighbouring devices over ICI — and the spatial core
+    (pyramid/CSF/masking, Pallas kernels included) runs in ``jax.shard_map``
+    with B/n_dev frames per device, exactly the single-chip program per
+    shard.  B must be divisible by the mesh size (``fvvdp`` rounds its block
+    size up and pads tail blocks).  With ``static_gaze`` the foveated CSF
+    tables are computed once and replicated; a moving gaze shards with its
+    frames.
+    """
+    import jax.numpy as jnp
+
+    from fovvideovdp_tpu.ops import temporal as temporal_ops
+
+    tables = core._static_fov_tables(static_gaze)
+    filt_np = np.asarray(filt, dtype=np.float32)
+    fl = filt_np.shape[1]
+    gaze_in_sig = core.foveated and tables is None
+    n_dev = _mesh_size(mesh)
+    axes = _frame_axes(mesh)
+
+    r_spec = P(axes, None, None, None)
+    extra_specs = (P(axes, None),) if gaze_in_sig else \
+        ((P(),) if tables is not None else ())
+
+    def score_shard(R, *extra):
+        if tables is not None:
+            Q, heat = core.score_frames(R, None, temp_ch=2, fov_tables=extra[0])
+        else:
+            gaze = extra[0] if gaze_in_sig else None
+            Q, heat = core.score_frames(R, gaze, temp_ch=2)
+        return (Q,) + ((heat,) if core.do_heatmap else ())
+
+    sharded = jax.shard_map(
+        score_shard, mesh=mesh, in_specs=(r_spec,) + extra_specs,
+        out_specs=(P(None, None, axes),) + ((r_spec,) if core.do_heatmap else ()),
+        check_vma=False)
+
+    def step(carry_t, carry_r, new_t, new_r, *extra):
+        if log_contrast:
+            new_t = jnp.log10(jnp.clip(new_t, 1e-6, None))
+            new_r = jnp.log10(jnp.clip(new_r, 1e-6, None))
+        B = new_t.shape[0]
+        padded_t = jnp.concatenate([carry_t, new_t], axis=0)
+        padded_r = jnp.concatenate([carry_r, new_r], axis=0)
+        R = temporal_ops.temporal_channels(padded_t, padded_r, filt_np)
+        R = jax.lax.with_sharding_constraint(R, NamedSharding(mesh, r_spec))
+        outs = sharded(R, *extra)
+        Q = outs[0]
+        heat = outs[1] if core.do_heatmap else None
+        if fl - 1 <= 0:
+            c_t, c_r = new_t[:0], new_r[:0]
+        elif fl - 1 <= B:
+            c_t, c_r = new_t[-(fl - 1):], new_r[-(fl - 1):]
+        else:
+            c_t, c_r = padded_t[-(fl - 1):], padded_r[-(fl - 1):]
+        return Q, heat, c_t, c_r
+
+    repl = NamedSharding(mesh, P())
+    frame_shard = NamedSharding(mesh, P(axes, None, None))
+    extra_shardings = (NamedSharding(mesh, P(axes, None)),) if gaze_in_sig \
+        else ((jax.tree.map(lambda _: repl, tables),) if tables is not None
+              else ())
+    jitted = jax.jit(step, in_shardings=(repl, repl, frame_shard, frame_shard)
+                     + extra_shardings)
+
+    def fn(carry_t, carry_r, new_t, new_r, *extra):
+        if new_t.shape[0] % n_dev != 0:
+            raise ValueError(
+                f"block size {new_t.shape[0]} not divisible by {n_dev} "
+                f"devices; pass block_frames as a multiple of the device count")
+        if tables is not None:
+            return jitted(carry_t, carry_r, new_t, new_r, tables)
+        return jitted(carry_t, carry_r, new_t, new_r, *extra)
+
+    return fn
+
+
 def make_batch_scorer(core, mesh: Mesh, pool_params: dict, fov_tables=None):
     """Batch-of-image-pairs scorer sharded over the whole mesh.
 
@@ -235,21 +321,31 @@ def make_batch_video_scorer(core, filt: np.ndarray, mesh: Mesh,
 
 
 def shard_image_fn(core, mesh: Mesh):
-    """Sharded single-image scorer: rows over 'space' (a lone image has no
-    frame axis to shard).
+    """Sharded single-image scorer: rows or columns over 'space' (a lone
+    image has no frame axis to shard).
 
-    Row sharding cuts *through* the pyramid's convolutions, so this path
+    Spatial sharding cuts *through* the pyramid's convolutions, so this path
     deliberately traces the jnp spatial core and leaves halo exchange to
     XLA's SPMD partitioner; the Pallas kernels (whose pallas_call has no
-    partitioning rule) are force-disabled for this trace.  For throughput
-    scaling prefer make_batch_scorer — frame/pair parallelism keeps the
-    kernels engaged.
+    partitioning rule) are force-disabled for this trace.  The sharded axis
+    is whichever of W / H divides the 'space' axis size (widths are usually
+    nicer multiples than heights, e.g. 683x1024); if neither divides, the
+    input stays replicated — still correct, XLA may shard internally.  For
+    throughput scaling prefer make_batch_scorer — frame/pair parallelism
+    keeps the kernels engaged.
     """
     import jax.numpy as jnp
 
     from fovvideovdp_tpu.ops import pallas as pallas_cfg
 
-    img_sharding = NamedSharding(mesh, P("space", None))
+    space = dict(zip(mesh.axis_names, mesh.devices.shape)).get("space", 1)
+    if space > 1 and core.plan.W % space == 0:
+        spec = P(None, "space")
+    elif space > 1 and core.plan.H % space == 0:
+        spec = P("space", None)
+    else:
+        spec = P(None, None)
+    img_sharding = NamedSharding(mesh, spec)
 
     def fn(T, Rf):
         with pallas_cfg.forced(False):

@@ -111,6 +111,9 @@ def parse_args(argv=None):
                         help="let ffmpeg do colour conversion (device-side is default)")
     parser.add_argument("--block-frames", type=int, default=None,
                         help="frames per compiled block (default: auto)")
+    parser.add_argument("--all-devices", action="store_true", default=False,
+                        help="shard video frames over every visible device "
+                             "(one SPMD program over the chip mesh)")
     return parser.parse_args(argv)
 
 
@@ -183,6 +186,12 @@ def main(argv=None):
     out_dir = args.output_dir or "."
     os.makedirs(out_dir, exist_ok=True)
 
+    mesh = None
+    if args.all_devices:
+        from fovvideovdp_tpu.parallel import make_mesh
+        mesh = make_mesh()
+        logging.info(f"Sharding over {mesh.devices.size} device(s)")
+
     from fovvideovdp_tpu.video_source_file import fvvdp_video_source_file
 
     for kk in range(max(N_test, N_ref)):
@@ -199,7 +208,10 @@ def main(argv=None):
                 resize_resolution=display_geometry.resolution,
                 frames=args.nframes, preload=preload,
                 ffmpeg_cc=args.ffmpeg_cc, verbose=args.verbose)
-            Q_pred, stats = mm.predict_video_source(vs)
+            if mesh is not None and isinstance(mm, pkg.fvvdp):
+                Q_pred, stats = mm.predict_video_source(vs, mesh=mesh)
+            else:
+                Q_pred, stats = mm.predict_video_source(vs)
             if args.quiet:
                 print("{Q:0.4f}".format(Q=Q_pred))
             else:

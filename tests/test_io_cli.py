@@ -76,13 +76,17 @@ def test_yuv_video_source_scoring(yuv_pair):
     assert np.isfinite(Q) and 0 <= Q <= 10
 
 
-def _run_cli(args, cwd=None):
+def _run_cli(args, cwd=None, n_devices=None):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     # This environment's sitecustomize force-registers the TPU backend and
     # overrides jax_platforms in-process; dropping its gate keeps the child
     # CPU-only (a wedged device tunnel must not hang a CPU test).
     env.pop("PALLAS_AXON_POOL_IPS", None)
+    if n_devices:
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                            f" --xla_force_host_platform_device_count="
+                            f"{n_devices}").strip()
     return subprocess.run(
         [sys.executable, "-m", "fovvideovdp_tpu.run_fvvdp"] + args,
         capture_output=True, text=True, env=env, cwd=cwd or os.getcwd(),
@@ -128,3 +132,15 @@ def test_cli_pu_psnr(tmp_path):
     assert out.returncode == 0, out.stderr
     # identical images -> infinite PSNR
     assert "inf" in out.stdout.lower() or float(out.stdout.strip()) > 60
+
+
+def test_cli_all_devices_matches_single(yuv_pair):
+    """`--all-devices` shards the streamed video over every visible device
+    and must print the same JOD as the single-device run."""
+    base = ["--test", yuv_pair[0], "--ref", yuv_pair[1],
+            "--display", "standard_hdr_pq", "--quiet"]
+    solo = _run_cli(base)
+    assert solo.returncode == 0, solo.stderr
+    mesh = _run_cli(base + ["--all-devices"], n_devices=4)
+    assert mesh.returncode == 0, mesh.stderr
+    assert abs(float(solo.stdout.strip()) - float(mesh.stdout.strip())) < 1e-3

@@ -204,3 +204,78 @@ def test_predict_batch_foveated_fixed_gaze():
     with pytest.raises(RuntimeError):
         fv.predict_batch(tst, ref, dim_order="BHWC",
                          fixation_point=np.zeros((N, 2), np.float32))
+
+
+def test_predict_mesh_streaming_matches_single():
+    """predict(mesh=...) streams the video sharded over the mesh and must
+    equal the single-device result — including non-divisible frame counts
+    (block rounding + tail padding) and the heatmap."""
+    from fovvideovdp_tpu import fvvdp
+    from fovvideovdp_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(3)
+    F, H, W = 14, 32, 48
+    ref = (rng.rand(F, H, W, 3) * 255).astype(np.uint8)
+    tst = np.clip(ref.astype(np.int16) + rng.randint(-20, 20, ref.shape),
+                  0, 255).astype(np.uint8)
+    mesh = make_mesh()
+    assert mesh.devices.size > 1
+
+    fv = fvvdp(display_name="standard_fhd", heatmap="threshold",
+               block_frames=7)  # rounds up to the 8-device mesh
+    q1, s1 = fv.predict(tst, ref, dim_order="FHWC", frames_per_second=30)
+    q2, s2 = fv.predict(tst, ref, dim_order="FHWC", frames_per_second=30,
+                        mesh=mesh)
+    np.testing.assert_allclose(q2, q1, rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(s2["Q_per_ch"], s1["Q_per_ch"],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s2["heatmap"], np.float32),
+                               np.asarray(s1["heatmap"], np.float32),
+                               atol=2e-3)
+
+
+def test_predict_mesh_foveated_moving_gaze():
+    """A moving gaze shards with its frames; a static fixation point uses the
+    replicated per-pixel CSF tables.  Both must match single-device."""
+    from fovvideovdp_tpu import fvvdp
+    from fovvideovdp_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(5)
+    F, H, W = 8, 32, 48
+    ref = (rng.rand(F, H, W, 3) * 255).astype(np.uint8)
+    tst = np.clip(ref.astype(np.int16) + rng.randint(-25, 25, ref.shape),
+                  0, 255).astype(np.uint8)
+    gaze = np.stack([np.linspace(5, W - 5, F),
+                     np.linspace(5, H - 5, F)], axis=1).astype(np.float32)
+    mesh = make_mesh()
+
+    fv = fvvdp(display_name="standard_hmd", foveated=True)
+    for fp in (gaze, np.asarray([12.0, 7.0], np.float32)):
+        q1, _ = fv.predict(tst, ref, dim_order="FHWC", frames_per_second=30,
+                           fixation_point=fp)
+        q2, _ = fv.predict(tst, ref, dim_order="FHWC", frames_per_second=30,
+                           fixation_point=fp, mesh=mesh)
+        np.testing.assert_allclose(q2, q1, rtol=1e-5, atol=1e-4)
+
+
+def test_predict_mesh_single_image():
+    """A lone image routes through the row-sharded scorer and a 1-device
+    mesh falls back to the single-chip path."""
+    from fovvideovdp_tpu import fvvdp
+    from fovvideovdp_tpu.parallel import make_mesh
+    import jax
+
+    rng = np.random.RandomState(7)
+    H, W = 48, 64
+    ref = (rng.rand(H, W, 3) * 255).astype(np.uint8)
+    tst = np.clip(ref.astype(np.int16) + rng.randint(-20, 20, ref.shape),
+                  0, 255).astype(np.uint8)
+
+    fv = fvvdp(display_name="standard_4k")
+    q1, _ = fv.predict(tst, ref, dim_order="HWC")
+    q2, _ = fv.predict(tst, ref, dim_order="HWC",
+                       mesh=make_mesh(data_parallel=1))  # rows over 'space'
+    np.testing.assert_allclose(q2, q1, rtol=1e-5, atol=1e-4)
+    q3, _ = fv.predict(tst, ref, dim_order="HWC",
+                       mesh=make_mesh(jax.devices("cpu")[:1]))
+    np.testing.assert_allclose(q3, q1, rtol=1e-6, atol=1e-6)
