@@ -22,11 +22,15 @@ if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
         pass
 
 if _os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
-    # Some environments force-register an accelerator plugin regardless of
-    # JAX_PLATFORMS; honour the user's explicit CPU request anyway.
+    # Some environments force-register an accelerator plugin at interpreter
+    # start, overriding the JAX_PLATFORMS read from the environment; honour
+    # the user's explicit CPU request by re-pinning the config key.  (This
+    # must NOT touch jax.devices() — importing the package before
+    # jax.distributed.initialize() would otherwise lock in a single-process
+    # backend.)
     import jax as _jax
     try:
-        _jax.config.update("jax_default_device", _jax.devices("cpu")[0])
+        _jax.config.update("jax_platforms", "cpu")
     except Exception:
         pass
 

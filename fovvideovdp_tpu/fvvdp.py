@@ -468,6 +468,25 @@ class fvvdp:
         if mesh is None:
             mesh = make_mesh()
         n_dev = int(np.prod(mesh.devices.shape))
+        # Multi-host (DCN) batch farming: each process passes ITS OWN pairs
+        # (same count per process); the batch axis shards over every device
+        # of every host and only the final JODs cross hosts.  This is the
+        # SPMD replacement for the reference's one-SLURM-job-per-GPU farming
+        # (pyfvvdp/benchmark_cluster.sh).
+        n_proc = jax.process_count()
+        if n_proc > 1:
+            from fovvideovdp_tpu.parallel import (local_batch_to_global,
+                                                  local_row_positions,
+                                                  replicate_to_hosts)
+            from jax.sharding import PartitionSpec as P
+            local_devs = [d for d in mesh.devices.flat
+                          if d.process_index == jax.process_index()]
+            if not local_devs:
+                raise RuntimeError("mesh holds no devices of this process")
+            pad_unit = len(local_devs)
+            axes = tuple(mesh.axis_names)
+        else:
+            pad_unit = n_dev
 
         colorspaces = utils.json2dict(utils.config_files.find("color_spaces.json"))
         rgb2y = tuple(float(c) for c in colorspaces[self.color_space]["RGB2Y"])
@@ -487,9 +506,9 @@ class fvvdp:
             lum_t = jnp.log10(jnp.clip(lum_t, 1e-6, None))
             lum_r = jnp.log10(jnp.clip(lum_r, 1e-6, None))
 
-        # pad the batch to a multiple of the device count; extras are
-        # replicas of the last pair and sliced off below
-        pad = (-N) % n_dev
+        # pad the batch to a multiple of the (local) device count; extras
+        # are replicas of the last pair and sliced off below
+        pad = (-N) % pad_unit
         if pad:
             lum_t = jnp.concatenate([lum_t, jnp.repeat(lum_t[-1:], pad, axis=0)])
             lum_r = jnp.concatenate([lum_r, jnp.repeat(lum_r[-1:], pad, axis=0)])
@@ -500,12 +519,23 @@ class fvvdp:
             if fixation_point is None:
                 fp = np.asarray([W // 2, H // 2], dtype=np.float32)
             fov_tables = core.fov_tables((float(fp[0]), float(fp[1])))
+            if n_proc > 1:
+                # host-replicated (numpy) so the global jit can broadcast
+                # them; a committed single-device array cannot feed a
+                # multi-process program
+                fov_tables = jax.tree.map(np.asarray, fov_tables)
         stats = {"width": W, "height": H, "N_frames": F, "N_pairs": N,
                  "frames_per_second": frames_per_second}
         if F == 1:
             fn = make_batch_scorer(core, mesh, self.parameters,
                                    fov_tables=fov_tables)
-            jods = fn(lum_t[:, 0], lum_r[:, 0])
+            at, ar = lum_t[:, 0], lum_r[:, 0]
+            if n_proc > 1:
+                spec = P(axes, None, None)
+                at = local_batch_to_global(mesh, spec, at)
+                ar = local_batch_to_global(mesh, spec, ar)
+            jods = fn(at, ar)
+            Q_pc = None
         else:
             fl = temporal_ops.filter_len_for_fps(frames_per_second)
             filt = temporal_ops.temporal_filters(
@@ -514,9 +544,23 @@ class fvvdp:
                 F, fl, self.temp_padding))
             pt = jnp.take(lum_t, idx, axis=1)
             pr = jnp.take(lum_r, idx, axis=1)
+            if n_proc > 1:
+                spec = P(axes, None, None, None)
+                pt = local_batch_to_global(mesh, spec, pt)
+                pr = local_batch_to_global(mesh, spec, pr)
             fn = make_batch_video_scorer(core, filt, mesh, self.parameters,
                                          fov_tables=fov_tables)
             jods, Q_pc = fn(pt, pr)
+        if n_proc > 1:
+            # all-gather the (tiny) results, then keep this process's rows
+            rows = local_row_positions(mesh, int(jods.shape[0]))[:N]
+            jods = np.asarray(replicate_to_hosts(mesh, jods))[rows]
+            if Q_pc is not None:
+                stats["Q_per_ch"] = np.asarray(
+                    replicate_to_hosts(mesh, Q_pc))[:, :, rows]
+            stats["n_processes"] = n_proc
+            return jods, stats
+        if Q_pc is not None:
             stats["Q_per_ch"] = np.asarray(Q_pc)[:, :, :N]
         return np.asarray(jods)[:N], stats
 

@@ -16,7 +16,14 @@ from fovvideovdp_tpu.parallel.sharding import (
     shard_video_block_step_fn,
     shard_image_fn,
 )
+from fovvideovdp_tpu.parallel.multihost import (
+    init_multihost,
+    local_batch_to_global,
+    local_row_positions,
+    replicate_to_hosts,
+)
 
 __all__ = ["make_mesh", "make_batch_scorer", "make_batch_video_scorer",
            "shard_video_block_fn", "shard_video_block_step_fn",
-           "shard_image_fn"]
+           "shard_image_fn", "init_multihost", "local_batch_to_global",
+           "local_row_positions", "replicate_to_hosts"]

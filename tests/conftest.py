@@ -59,6 +59,8 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "tpu: end-to-end parity tests that need real TPU hardware "
         "(run with `pytest -m tpu`)")
+    config.addinivalue_line(
+        "markers", "slow: multi-process / long-running tests")
 
 
 @pytest.fixture(scope="session")
