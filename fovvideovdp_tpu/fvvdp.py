@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import logging
+import os
 from typing import Dict
 
 import jax.numpy as jnp
@@ -202,7 +203,22 @@ class fvvdp:
         by_mem = int(_BLOCK_PIXEL_BUDGET // (height * width))
         return int(max(1, min(_MAX_BLOCK_FRAMES, by_mem, n_frames)))
 
-    def predict_video_source(self, vid_source, fixation_point=None, mesh=None):
+    def predict_video_source(self, vid_source, fixation_point=None, mesh=None,
+                             checkpoint_path=None, checkpoint_every=8):
+        """Score a video source.  TPU-native extensions over the reference:
+
+        ``mesh``: shard the streamed frames over a device mesh (see
+        ``predict``).
+
+        ``checkpoint_path``: persist streaming state (scored Q_per_ch,
+        position, the filter_len-1 carry frames) every ``checkpoint_every``
+        blocks, so a long scoring job killed mid-video resumes where it
+        stopped instead of re-decoding and re-scoring from frame 0 (the
+        reference has no job checkpointing — SURVEY.md section 5).  The file
+        is written atomically, validated against the video/configuration
+        fingerprint on resume, and removed on completion.  Not supported
+        together with heatmaps (those would make the checkpoint as large as
+        the output)."""
         height, width, N_frames = vid_source.get_video_size()
 
         n_dev = 1
@@ -305,16 +321,27 @@ class fvvdp:
                 fps, fl, self.sustained_sigma, self.sustained_beta)
             pad_idx = temporal_ops.padding_indices(N_frames, fl, self.temp_padding)
 
-            # Warm-up frames: the first fl-1 entries of the padded sequence.
-            carry_t, carry_r = vid_source.get_indexed_luminance_block(pad_idx[:fl - 1])
-            carry_t, carry_r = _enc(carry_t), _enc(carry_r)
-
             B = self._pick_block_size(height, width, N_frames)
             if mesh is not None:
                 # shard output frames over the mesh: blocks must split evenly
                 B = -(-B // n_dev) * n_dev
             Q_per_ch = np.zeros((plan.height, 2, N_frames), dtype=np.float32)
             stream_idx = pad_idx[fl - 1:]  # frame index feeding each output frame
+
+            if checkpoint_path and self.do_heatmap:
+                raise RuntimeError("checkpoint_path is not supported together "
+                                   "with heatmaps")
+            pad_code = {"replicate": 0, "circular": 1, "pingpong": 2}[
+                self.temp_padding]  # NB: hash(str) is per-process randomized
+            fingerprint = np.asarray([height, width, N_frames, fl, B, pad_code,
+                                      int(round(fps * 1000))], np.int64)
+            start_pos, carry_t, carry_r = self._load_checkpoint(
+                checkpoint_path, fingerprint, Q_per_ch)
+            if carry_t is None:
+                # Warm-up frames: the first fl-1 entries of the padded sequence.
+                carry_t, carry_r = vid_source.get_indexed_luminance_block(
+                    pad_idx[:fl - 1])
+                carry_t, carry_r = _enc(carry_t), _enc(carry_r)
             if mesh is not None:
                 fn = self._get_sharded_fn(("videostep", core, mesh,
                                            filt.tobytes(), static_gaze, log_c),
@@ -327,7 +354,8 @@ class fvvdp:
             # is dispatched before block k's results are pulled to the host,
             # so host->device transfer and decode overlap TPU compute.
             pending = []  # [(pos, b, Q_blk, heat)] not yet materialised
-            pos = 0
+            pos = start_pos
+            blocks_done = 0
             while pos < N_frames:
                 b = min(B, N_frames - pos)
                 blk = stream_idx[pos:pos + b]
@@ -361,9 +389,19 @@ class fvvdp:
                     self._drain_block(pending.pop(0), Q_per_ch,
                                       heatmap_frames, heat_dev_blocks)
                 pos += b
+                blocks_done += 1
+                if checkpoint_path and pos < N_frames \
+                        and blocks_done % max(1, checkpoint_every) == 0:
+                    while pending:  # Q values up to pos must be final on host
+                        self._drain_block(pending.pop(0), Q_per_ch,
+                                          heatmap_frames, heat_dev_blocks)
+                    self._save_checkpoint(checkpoint_path, fingerprint, pos,
+                                          Q_per_ch, carry_t, carry_r)
             while pending:
                 self._drain_block(pending.pop(0), Q_per_ch, heatmap_frames,
                                   heat_dev_blocks)
+            if checkpoint_path and os.path.isfile(checkpoint_path):
+                os.remove(checkpoint_path)
 
         Q_jod = self.do_pooling_and_jods(jnp.asarray(Q_per_ch))
 
@@ -384,6 +422,39 @@ class fvvdp:
             else:
                 stats["heatmap"] = np.stack(heatmap_frames, axis=1)[None]
         return float(Q_jod), stats
+
+    @staticmethod
+    def _load_checkpoint(path, fingerprint, Q_per_ch):
+        """Resume streaming state saved by _save_checkpoint.  Returns
+        (start_pos, carry_t, carry_r); carries are None on a fresh start.
+        A fingerprint mismatch (different video/config) starts fresh rather
+        than silently mixing state."""
+        if not path or not os.path.isfile(path):
+            return 0, None, None
+        try:
+            d = np.load(path)
+            if not np.array_equal(d["fingerprint"], fingerprint):
+                logging.warning(f"checkpoint '{path}' belongs to a different "
+                                f"video/configuration; starting fresh")
+                return 0, None, None
+            Q_per_ch[...] = d["Q_per_ch"]
+            pos = int(d["pos"])
+            logging.info(f"resuming from checkpoint '{path}' at frame {pos}")
+            return pos, jnp.asarray(d["carry_t"]), jnp.asarray(d["carry_r"])
+        except Exception as e:  # truncated/corrupt file: score from scratch
+            logging.warning(f"could not read checkpoint '{path}' ({e}); "
+                            f"starting fresh")
+            return 0, None, None
+
+    @staticmethod
+    def _save_checkpoint(path, fingerprint, pos, Q_per_ch, carry_t, carry_r):
+        tmp = path + ".tmp"
+        np.savez(tmp, fingerprint=fingerprint, pos=np.int64(pos),
+                 Q_per_ch=Q_per_ch, carry_t=np.asarray(carry_t),
+                 carry_r=np.asarray(carry_r))
+        # np.savez appends .npz to names without it
+        tmp = tmp if os.path.isfile(tmp) else tmp + ".npz"
+        os.replace(tmp, path)
 
     @staticmethod
     def _drain_block(pending, Q_per_ch, heatmap_frames, heat_dev_blocks=None):

@@ -114,6 +114,9 @@ def parse_args(argv=None):
     parser.add_argument("--all-devices", action="store_true", default=False,
                         help="shard video frames over every visible device "
                              "(one SPMD program over the chip mesh)")
+    parser.add_argument("--checkpoint", type=str, default=None,
+                        help="path for streaming-state checkpoints; a killed "
+                             "long-video job resumes where it stopped")
     return parser.parse_args(argv)
 
 
@@ -208,8 +211,12 @@ def main(argv=None):
                 resize_resolution=display_geometry.resolution,
                 frames=args.nframes, preload=preload,
                 ffmpeg_cc=args.ffmpeg_cc, verbose=args.verbose)
-            if mesh is not None and isinstance(mm, pkg.fvvdp):
-                Q_pred, stats = mm.predict_video_source(vs, mesh=mesh)
+            if isinstance(mm, pkg.fvvdp):
+                ckpt = args.checkpoint
+                if ckpt and max(N_test, N_ref) > 1:
+                    ckpt = f"{ckpt}.{kk}"  # one state file per pair
+                Q_pred, stats = mm.predict_video_source(
+                    vs, mesh=mesh, checkpoint_path=ckpt)
             else:
                 Q_pred, stats = mm.predict_video_source(vs)
             if args.quiet:

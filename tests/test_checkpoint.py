@@ -1,0 +1,100 @@
+"""Checkpoint/resume of long-video streaming scoring.
+
+The reference has no job checkpointing (SURVEY.md section 5); here a killed
+scoring run resumes from the last saved block instead of re-decoding and
+re-scoring from frame 0.  The checkpoint holds the drained Q_per_ch, the
+stream position, and the filter_len-1 carry frames, guarded by a fingerprint
+of the video/configuration.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from fovvideovdp_tpu import fvvdp
+from fovvideovdp_tpu.video_source import fvvdp_video_source_array
+
+
+class CrashingSource(fvvdp_video_source_array):
+    """Raises after serving `limit` luminance blocks — a simulated kill."""
+
+    def __init__(self, *a, limit=10**9, **kw):
+        super().__init__(*a, **kw)
+        self.limit = limit
+        self.calls = 0
+        self.positions = []
+
+    def get_luminance_block(self, pos, n):
+        self.calls += 1
+        if self.calls > self.limit:
+            raise RuntimeError("simulated crash")
+        self.positions.append(int(pos))
+        return super().get_luminance_block(pos, n)
+
+
+def _content():
+    rng = np.random.RandomState(17)
+    F, H, W = 12, 32, 48
+    ref = (rng.rand(F, H, W, 3) * 255).astype(np.uint8)
+    tst = np.clip(ref.astype(np.int16) + rng.randint(-20, 20, ref.shape),
+                  0, 255).astype(np.uint8)
+    return tst, ref
+
+
+def test_resume_after_crash(tmp_path):
+    tst, ref = _content()
+    ckpt = str(tmp_path / "score.ckpt")
+    fv = fvvdp(display_name="standard_fhd", block_frames=4)
+
+    q_full, s_full = fv.predict(tst, ref, dim_order="FHWC",
+                                frames_per_second=30)
+
+    crashy = CrashingSource(tst, ref, 30, dim_order="FHWC",
+                            display_photometry=fv.display_photometry,
+                            limit=2)  # 2 of the 3 blocks, then die
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        fv.predict_video_source(crashy, checkpoint_path=ckpt,
+                                checkpoint_every=1)
+    assert os.path.isfile(ckpt), "crash must leave a checkpoint behind"
+
+    resumed = CrashingSource(tst, ref, 30, dim_order="FHWC",
+                             display_photometry=fv.display_photometry)
+    q2, s2 = fv.predict_video_source(resumed, checkpoint_path=ckpt,
+                                     checkpoint_every=1)
+    np.testing.assert_allclose(q2, q_full, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(s2["Q_per_ch"], s_full["Q_per_ch"],
+                               rtol=1e-5, atol=1e-6)
+    # the resumed run must NOT have re-read the already-scored prefix
+    assert min(resumed.positions) >= 4
+    assert not os.path.isfile(ckpt), "checkpoint is removed on completion"
+
+
+def test_checkpoint_fingerprint_mismatch(tmp_path):
+    tst, ref = _content()
+    ckpt = str(tmp_path / "score.ckpt")
+    fv = fvvdp(display_name="standard_fhd", block_frames=4)
+
+    crashy = CrashingSource(tst, ref, 30, dim_order="FHWC",
+                            display_photometry=fv.display_photometry,
+                            limit=2)
+    with pytest.raises(RuntimeError):
+        fv.predict_video_source(crashy, checkpoint_path=ckpt,
+                                checkpoint_every=1)
+    assert os.path.isfile(ckpt)
+
+    # different content length -> stale checkpoint must be ignored
+    q_short, _ = fv.predict(tst[:8], ref[:8], dim_order="FHWC",
+                            frames_per_second=30)
+    vs = fvvdp_video_source_array(tst[:8], ref[:8], 30, dim_order="FHWC",
+                                  display_photometry=fv.display_photometry)
+    q2, _ = fv.predict_video_source(vs, checkpoint_path=ckpt)
+    np.testing.assert_allclose(q2, q_short, rtol=1e-6, atol=1e-6)
+
+
+def test_checkpoint_rejects_heatmap(tmp_path):
+    tst, ref = _content()
+    fv = fvvdp(display_name="standard_fhd", heatmap="raw")
+    vs = fvvdp_video_source_array(tst, ref, 30, dim_order="FHWC",
+                                  display_photometry=fv.display_photometry)
+    with pytest.raises(RuntimeError, match="heatmap"):
+        fv.predict_video_source(vs, checkpoint_path=str(tmp_path / "c"))
