@@ -32,15 +32,26 @@ def wait_for_backend(attempts=8, probe_timeout=90, retry_sleep=60):
     probe = ("import jax; import jax.numpy as jnp; "
              "jnp.ones(8).sum().block_until_ready(); "
              "print(jax.devices()[0].platform)")
+    # A TPU whose client creation FAILS (rather than hangs) makes JAX fall
+    # back to CPU with only a warning — zero exit, wrong device.  Unless the
+    # caller explicitly allows CPU, a cpu-platform probe is a failed probe.
+    allow_cpu = os.environ.get("FVVDP_BENCH_ALLOW_CPU", "") == "1" \
+        or os.environ.get("JAX_PLATFORMS", "") == "cpu"
     for i in range(attempts):
         try:
             r = subprocess.run([sys.executable, "-c", probe],
                                capture_output=True, text=True,
                                timeout=probe_timeout, env=os.environ.copy())
-            if r.returncode == 0:
+            platform = r.stdout.strip().splitlines()[-1] if r.stdout.strip() \
+                else ""
+            if r.returncode == 0 and (platform != "cpu" or allow_cpu):
                 return
-            err = r.stderr.strip().splitlines()
-            err = err[-1] if err else "unknown error"
+            if r.returncode == 0:
+                err = ("backend fell back to CPU; refusing to benchmark it "
+                       "as the device (set FVVDP_BENCH_ALLOW_CPU=1 to allow)")
+            else:
+                err = r.stderr.strip().splitlines()
+                err = err[-1] if err else "unknown error"
         except subprocess.TimeoutExpired:
             err = f"backend init hung > {probe_timeout}s"
         print(f"# backend probe {i + 1}/{attempts} failed: {err}",

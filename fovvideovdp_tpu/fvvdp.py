@@ -331,10 +331,24 @@ class fvvdp:
             if checkpoint_path and self.do_heatmap:
                 raise RuntimeError("checkpoint_path is not supported together "
                                    "with heatmaps")
-            pad_code = {"replicate": 0, "circular": 1, "pingpong": 2}[
-                self.temp_padding]  # NB: hash(str) is per-process randomized
-            fingerprint = np.asarray([height, width, N_frames, fl, B, pad_code,
-                                      int(round(fps * 1000))], np.int64)
+            fingerprint = None
+            if checkpoint_path:
+                pad_code = {"replicate": 0, "circular": 1, "pingpong": 2}[
+                    self.temp_padding]  # NB: hash(str) is per-process random
+                # content+config probe: the first LUMINANCE frame folds in the
+                # pixels, the photometry (display/EOTF/peak), and the colour
+                # space — one extra frame decode on resume, so a checkpoint
+                # from a different video or display model is never mixed in
+                p_t, p_r = vid_source.get_luminance_block(0, 1)
+                probe = np.float64(np.sum(np.asarray(p_t, np.float64))
+                                   + 2.0 * np.sum(np.asarray(p_r, np.float64)))
+                fp_gaze = (-1.0, -1.0) if static_gaze is None else static_gaze
+                fingerprint = np.asarray(
+                    [height, width, N_frames, fl, B, pad_code,
+                     int(round(fps * 1000)), int(round(self.pix_per_deg * 1e3)),
+                     int(self.foveated), int(log_c),
+                     int(round(fp_gaze[0] * 16)), int(round(fp_gaze[1] * 16)),
+                     np.float64(probe).view(np.int64)], np.int64)
             start_pos, carry_t, carry_r = self._load_checkpoint(
                 checkpoint_path, fingerprint, Q_per_ch)
             if carry_t is None:
@@ -448,12 +462,10 @@ class fvvdp:
 
     @staticmethod
     def _save_checkpoint(path, fingerprint, pos, Q_per_ch, carry_t, carry_r):
-        tmp = path + ".tmp"
+        tmp = path + ".tmp.npz"  # explicit suffix: np.savez appends .npz
         np.savez(tmp, fingerprint=fingerprint, pos=np.int64(pos),
                  Q_per_ch=Q_per_ch, carry_t=np.asarray(carry_t),
                  carry_r=np.asarray(carry_r))
-        # np.savez appends .npz to names without it
-        tmp = tmp if os.path.isfile(tmp) else tmp + ".npz"
         os.replace(tmp, path)
 
     @staticmethod
@@ -583,6 +595,17 @@ class fvvdp:
         if pad:
             lum_t = jnp.concatenate([lum_t, jnp.repeat(lum_t[-1:], pad, axis=0)])
             lum_r = jnp.concatenate([lum_r, jnp.repeat(lum_r[-1:], pad, axis=0)])
+        if n_proc > 1:
+            # unequal per-process counts would compile mismatched programs
+            # (collective deadlock) or silently mis-attribute result rows —
+            # check loudly first
+            from jax.experimental import multihost_utils
+            counts = np.asarray(multihost_utils.process_allgather(
+                np.asarray([N + pad], np.int64))).ravel()
+            if not np.all(counts == counts[0]):
+                raise RuntimeError(
+                    "predict_batch requires the same (padded) pair count on "
+                    f"every process; got {counts.tolist()}")
 
         core = self._get_core(W, H)
         fov_tables = None
@@ -598,14 +621,18 @@ class fvvdp:
         stats = {"width": W, "height": H, "N_frames": F, "N_pairs": N,
                  "frames_per_second": frames_per_second}
         if F == 1:
-            fn = make_batch_scorer(core, mesh, self.parameters,
-                                   fov_tables=fov_tables)
+            key = ("batch", core, mesh, fov_tables is not None)
+            if key not in self._shard_fns:
+                self._shard_fns[key] = make_batch_scorer(
+                    core, mesh, self.parameters,
+                    defer_tables=fov_tables is not None)
+            fn = self._shard_fns[key]
             at, ar = lum_t[:, 0], lum_r[:, 0]
             if n_proc > 1:
                 spec = P(axes, None, None)
                 at = local_batch_to_global(mesh, spec, at)
                 ar = local_batch_to_global(mesh, spec, ar)
-            jods = fn(at, ar)
+            jods = fn(at, ar) if fov_tables is None else fn(at, ar, fov_tables)
             Q_pc = None
         else:
             fl = temporal_ops.filter_len_for_fps(frames_per_second)
@@ -619,9 +646,15 @@ class fvvdp:
                 spec = P(axes, None, None, None)
                 pt = local_batch_to_global(mesh, spec, pt)
                 pr = local_batch_to_global(mesh, spec, pr)
-            fn = make_batch_video_scorer(core, filt, mesh, self.parameters,
-                                         fov_tables=fov_tables)
-            jods, Q_pc = fn(pt, pr)
+            key = ("batchvid", core, mesh, filt.tobytes(),
+                   fov_tables is not None)
+            if key not in self._shard_fns:
+                self._shard_fns[key] = make_batch_video_scorer(
+                    core, filt, mesh, self.parameters,
+                    defer_tables=fov_tables is not None)
+            fn = self._shard_fns[key]
+            jods, Q_pc = (fn(pt, pr) if fov_tables is None
+                          else fn(pt, pr, fov_tables))
         if n_proc > 1:
             # all-gather the (tiny) results, then keep this process's rows
             rows = local_row_positions(mesh, int(jods.shape[0]))[:N]

@@ -64,6 +64,9 @@ def local_row_positions(mesh, n_rows_global: int):
     """
     import jax
     flat = list(mesh.devices.flat)
+    if n_rows_global % len(flat) != 0:
+        raise ValueError(f"{n_rows_global} rows do not shard evenly over "
+                         f"{len(flat)} devices; row ownership is ambiguous")
     rows_per_dev = n_rows_global // len(flat)
     pid = jax.process_index()
     idx = [np.arange(pos * rows_per_dev, (pos + 1) * rows_per_dev)

@@ -197,7 +197,8 @@ def shard_video_block_step_fn(core, filt: np.ndarray, mesh: Mesh,
     return fn
 
 
-def make_batch_scorer(core, mesh: Mesh, pool_params: dict, fov_tables=None):
+def make_batch_scorer(core, mesh: Mesh, pool_params: dict, fov_tables=None,
+                      defer_tables: bool = False):
     """Batch-of-image-pairs scorer sharded over the whole mesh.
 
     The reference farms independent pairs out as one SLURM process per GPU
@@ -209,9 +210,11 @@ def make_batch_scorer(core, mesh: Mesh, pool_params: dict, fov_tables=None):
     ``fov_tables``: static-gaze per-pixel CSF tables (core.fov_tables) for
     foveated scoring with one fixation point shared by all pairs; the tables
     are replicated across the mesh (they depend on the display geometry, not
-    on the pair).
+    on the pair).  Pass ``defer_tables=True`` instead to get a
+    ``fn(tests, refs, tables)`` that binds the tables per CALL, so a cached
+    scorer serves every fixation point without recompiling.
 
-    Returns a jitted fn (tests, refs) -> (N,) JOD scores.
+    Returns a jitted fn (tests, refs[, tables]) -> (N,) JOD scores.
     """
     import jax.numpy as jnp
 
@@ -219,6 +222,7 @@ def make_batch_scorer(core, mesh: Mesh, pool_params: dict, fov_tables=None):
 
     axes = _frame_axes(mesh)
     n_dev = _mesh_size(mesh)
+    use_tabs = defer_tables or fov_tables is not None
 
     def pool_one(Q_pair):  # (n_bands, 2) -> scalar JOD
         return mask_ops.pool_to_jod(
@@ -234,7 +238,7 @@ def make_batch_scorer(core, mesh: Mesh, pool_params: dict, fov_tables=None):
                                  fov_tables=tabs)     # (n_bands, 2, n_loc)
         return jax.vmap(pool_one, in_axes=2)(Q)       # (n_loc,)
 
-    tab_specs = () if fov_tables is None else (P(),)  # replicated pytree
+    tab_specs = (P(),) if use_tabs else ()  # replicated pytree
     sharded = jax.shard_map(score_shard, mesh=mesh,
                             in_specs=(P(axes, None, None),) * 2 + tab_specs,
                             out_specs=P(axes), check_vma=False)
@@ -246,15 +250,25 @@ def make_batch_scorer(core, mesh: Mesh, pool_params: dict, fov_tables=None):
         return sharded(tests, refs, *maybe_tabs)
 
     batch_sharding = NamedSharding(mesh, P(axes, None, None))
-    if fov_tables is None:
+    if not use_tabs:
         return jax.jit(fn, in_shardings=(batch_sharding, batch_sharding))
-    repl = jax.tree.map(lambda _: NamedSharding(mesh, P()), fov_tables)
-    jitted = jax.jit(fn, in_shardings=(batch_sharding, batch_sharding, repl))
-    return lambda tests, refs: jitted(tests, refs, fov_tables)
+
+    state = {}  # the jit is built on first call (needs the tables' pytree)
+
+    def call(tests, refs, *maybe_tabs):
+        tabs = maybe_tabs[0] if maybe_tabs else fov_tables
+        if "jit" not in state:
+            repl = jax.tree.map(lambda _: NamedSharding(mesh, P()), tabs)
+            state["jit"] = jax.jit(
+                fn, in_shardings=(batch_sharding, batch_sharding, repl))
+        return state["jit"](tests, refs, tabs)
+
+    return call
 
 
 def make_batch_video_scorer(core, filt: np.ndarray, mesh: Mesh,
-                            pool_params: dict, fov_tables=None):
+                            pool_params: dict, fov_tables=None,
+                            defer_tables: bool = False):
     """Batch-of-video-pairs scorer: N independent clips in one SPMD program.
 
     Inputs (padded_tests, padded_refs): (N, B + fl - 1, H, W) luminance with
@@ -276,6 +290,7 @@ def make_batch_video_scorer(core, filt: np.ndarray, mesh: Mesh,
     fl = filt.shape[1]
     axes = _frame_axes(mesh)
     n_dev = _mesh_size(mesh)
+    use_tabs = defer_tables or fov_tables is not None
 
     def pool_one(Q_clip):  # (n_bands, 2, B) -> scalar JOD
         return mask_ops.pool_to_jod(
@@ -299,7 +314,7 @@ def make_batch_video_scorer(core, filt: np.ndarray, mesh: Mesh,
         jods = jax.vmap(pool_one, in_axes=2)(Q)        # (n_loc,)
         return jods, Q
 
-    tab_specs = () if fov_tables is None else (P(),)  # replicated pytree
+    tab_specs = (P(),) if use_tabs else ()  # replicated pytree
     sharded = jax.shard_map(score_shard, mesh=mesh,
                             in_specs=(P(axes, None, None, None),) * 2
                             + tab_specs,
@@ -313,11 +328,20 @@ def make_batch_video_scorer(core, filt: np.ndarray, mesh: Mesh,
         return sharded(padded_tests, padded_refs, *maybe_tabs)
 
     batch_sharding = NamedSharding(mesh, P(axes, None, None, None))
-    if fov_tables is None:
+    if not use_tabs:
         return jax.jit(fn, in_shardings=(batch_sharding, batch_sharding))
-    repl = jax.tree.map(lambda _: NamedSharding(mesh, P()), fov_tables)
-    jitted = jax.jit(fn, in_shardings=(batch_sharding, batch_sharding, repl))
-    return lambda pt, pr: jitted(pt, pr, fov_tables)
+
+    state = {}  # the jit is built on first call (needs the tables' pytree)
+
+    def call(pt, pr, *maybe_tabs):
+        tabs = maybe_tabs[0] if maybe_tabs else fov_tables
+        if "jit" not in state:
+            repl = jax.tree.map(lambda _: NamedSharding(mesh, P()), tabs)
+            state["jit"] = jax.jit(
+                fn, in_shardings=(batch_sharding, batch_sharding, repl))
+        return state["jit"](pt, pr, tabs)
+
+    return call
 
 
 def shard_image_fn(core, mesh: Mesh):

@@ -55,6 +55,22 @@ import pytest  # noqa: E402
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 
 
+def cpu_subprocess_env(n_devices=None):
+    """Environment for child processes that must stay CPU-only.
+
+    Pins JAX_PLATFORMS and drops the sitecustomize gate that force-registers
+    the TPU backend in-process — a wedged device tunnel must never hang a
+    CPU test.  ``n_devices`` (re)sets the virtual CPU device count."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    if n_devices:
+        flags = [f for f in env.get("XLA_FLAGS", "").split()
+                 if not f.startswith("--xla_force_host_platform_device_count")]
+        flags.append(f"--xla_force_host_platform_device_count={n_devices}")
+        env["XLA_FLAGS"] = " ".join(flags)
+    return env
+
+
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "tpu: end-to-end parity tests that need real TPU hardware "

@@ -28,8 +28,13 @@ class CrashingSource(fvvdp_video_source_array):
         self.calls += 1
         if self.calls > self.limit:
             raise RuntimeError("simulated crash")
-        self.positions.append(int(pos))
+        self.positions.append((int(pos), int(n)))
         return super().get_luminance_block(pos, n)
+
+    def block_starts(self):
+        # full blocks only (n > 1): the 1-frame fingerprint probe is not a
+        # re-read of scored content
+        return [p for p, n in self.positions if n > 1]
 
 
 def _content():
@@ -51,7 +56,7 @@ def test_resume_after_crash(tmp_path):
 
     crashy = CrashingSource(tst, ref, 30, dim_order="FHWC",
                             display_photometry=fv.display_photometry,
-                            limit=2)  # 2 of the 3 blocks, then die
+                            limit=3)  # probe + 2 of the 3 blocks, then die
     with pytest.raises(RuntimeError, match="simulated crash"):
         fv.predict_video_source(crashy, checkpoint_path=ckpt,
                                 checkpoint_every=1)
@@ -65,7 +70,7 @@ def test_resume_after_crash(tmp_path):
     np.testing.assert_allclose(s2["Q_per_ch"], s_full["Q_per_ch"],
                                rtol=1e-5, atol=1e-6)
     # the resumed run must NOT have re-read the already-scored prefix
-    assert min(resumed.positions) >= 4
+    assert min(resumed.block_starts()) >= 4
     assert not os.path.isfile(ckpt), "checkpoint is removed on completion"
 
 
@@ -89,6 +94,29 @@ def test_checkpoint_fingerprint_mismatch(tmp_path):
                                   display_photometry=fv.display_photometry)
     q2, _ = fv.predict_video_source(vs, checkpoint_path=ckpt)
     np.testing.assert_allclose(q2, q_short, rtol=1e-6, atol=1e-6)
+
+
+def test_checkpoint_rejects_other_display(tmp_path):
+    """Same geometry + frame count but a different display model: the
+    luminance fingerprint probe must refuse the stale state (scoring under
+    the new display from scratch, not mixing carried frames)."""
+    tst, ref = _content()
+    ckpt = str(tmp_path / "score.ckpt")
+    fv = fvvdp(display_name="standard_fhd", block_frames=4)
+    crashy = CrashingSource(tst, ref, 30, dim_order="FHWC",
+                            display_photometry=fv.display_photometry,
+                            limit=2)
+    with pytest.raises(RuntimeError):
+        fv.predict_video_source(crashy, checkpoint_path=ckpt,
+                                checkpoint_every=1)
+    assert os.path.isfile(ckpt)
+
+    fv2 = fvvdp(display_name="standard_hdr_pq", block_frames=4)
+    q_clean, _ = fv2.predict(tst, ref, dim_order="FHWC", frames_per_second=30)
+    vs = fvvdp_video_source_array(tst, ref, 30, dim_order="FHWC",
+                                  display_photometry=fv2.display_photometry)
+    q2, _ = fv2.predict_video_source(vs, checkpoint_path=ckpt)
+    np.testing.assert_allclose(q2, q_clean, rtol=1e-6, atol=1e-6)
 
 
 def test_checkpoint_rejects_heatmap(tmp_path):

@@ -152,11 +152,8 @@ def test_no_metadata_requires_frames_arg(fake_ffmpeg):
 def test_cli_video_end_to_end(fake_ffmpeg):
     tst, _ = _make_video(fake_ffmpeg, "tst", seed=0)
     ref, _ = _make_video(fake_ffmpeg, "ref", seed=1)
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
-    # This environment's sitecustomize force-registers the TPU backend and
-    # overrides jax_platforms in-process; dropping its gate keeps the child
-    # CPU-only (a wedged device tunnel must not hang a CPU test).
-    env.pop("PALLAS_AXON_POOL_IPS", None)
+    from conftest import cpu_subprocess_env
+    env = cpu_subprocess_env()
     out = subprocess.run(
         [sys.executable, "-m", "fovvideovdp_tpu.run_fvvdp", "--test", tst,
          "--ref", ref, "--display", "standard_fhd", "--quiet"],

@@ -77,16 +77,8 @@ def test_yuv_video_source_scoring(yuv_pair):
 
 
 def _run_cli(args, cwd=None, n_devices=None):
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    # This environment's sitecustomize force-registers the TPU backend and
-    # overrides jax_platforms in-process; dropping its gate keeps the child
-    # CPU-only (a wedged device tunnel must not hang a CPU test).
-    env.pop("PALLAS_AXON_POOL_IPS", None)
-    if n_devices:
-        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
-                            f" --xla_force_host_platform_device_count="
-                            f"{n_devices}").strip()
+    from conftest import cpu_subprocess_env
+    env = cpu_subprocess_env(n_devices)
     return subprocess.run(
         [sys.executable, "-m", "fovvideovdp_tpu.run_fvvdp"] + args,
         capture_output=True, text=True, env=env, cwd=cwd or os.getcwd(),

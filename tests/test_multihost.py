@@ -25,14 +25,11 @@ def _free_port():
 
 @pytest.mark.slow
 def test_two_process_predict_batch(tmp_path):
+    from conftest import cpu_subprocess_env
     port = _free_port()
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
-    env.pop("PALLAS_AXON_POOL_IPS", None)  # keep children off the TPU tunnel
+    env = cpu_subprocess_env(n_devices=2)
     repo_root = os.path.dirname(os.path.dirname(WORKER))
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
-    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "").replace(
-        "--xla_force_host_platform_device_count=8", "").strip()
-        + " --xla_force_host_platform_device_count=2").strip()
 
     outs = [str(tmp_path / f"out{i}.json") for i in range(2)]
     procs = [subprocess.Popen(
