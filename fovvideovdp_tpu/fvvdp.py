@@ -191,10 +191,10 @@ class fvvdp:
             if kind == "image":
                 self._shard_fns[key] = shard_image_fn(core, mesh)
             else:
-                _, _, _, _, static_gaze, log_c = key
+                _, _, _, _, use_tables, log_c = key
                 self._shard_fns[key] = shard_video_block_step_fn(
-                    core, filt, mesh, static_gaze=static_gaze,
-                    log_contrast=log_c)
+                    core, filt, mesh, log_contrast=log_c,
+                    defer_tables=use_tables)
         return self._shard_fns[key]
 
     def _pick_block_size(self, height: int, width: int, n_frames: int) -> int:
@@ -357,9 +357,14 @@ class fvvdp:
                     pad_idx[:fl - 1])
                 carry_t, carry_r = _enc(carry_t), _enc(carry_r)
             if mesh is not None:
-                fn = self._get_sharded_fn(("videostep", core, mesh,
-                                           filt.tobytes(), static_gaze, log_c),
-                                          filt=filt)
+                # CSF tables for a fixed gaze bind per CALL, so one cached
+                # SPMD program serves every fixation point
+                fov_tabs = core._static_fov_tables(static_gaze)
+                raw = self._get_sharded_fn(
+                    ("videostep", core, mesh, filt.tobytes(),
+                     fov_tabs is not None, log_c), filt=filt)
+                fn = raw if fov_tabs is None else \
+                    (lambda ct, cr, nt, nr: raw(ct, cr, nt, nr, fov_tabs))
             else:
                 fn = core.video_block_step_fn(filt, static_gaze=static_gaze,
                                               log_contrast=log_c)
@@ -517,7 +522,7 @@ class fvvdp:
         from fovvideovdp_tpu.parallel import (make_batch_scorer,
                                               make_batch_video_scorer,
                                               make_mesh)
-        from fovvideovdp_tpu.video_source import (_decode_raw,
+        from fovvideovdp_tpu.video_source import (_batch_to_luminance,
                                                   reshuffle_dims)
 
         if self.foveated:
@@ -573,18 +578,13 @@ class fvvdp:
 
         colorspaces = utils.json2dict(utils.config_files.find("color_spaces.json"))
         rgb2y = tuple(float(c) for c in colorspaces[self.color_space]["RGB2Y"])
-        dm = self.display_photometry
 
-        @jax.jit
-        def to_lum(x):  # (n, C, F, H, W) raw -> (n, F, H, W) luminance
-            L = dm.forward(_decode_raw(x))
-            if C == 3:
-                return (L[:, 0] * rgb2y[0] + L[:, 1] * rgb2y[1]
-                        + L[:, 2] * rgb2y[2])
-            return L[:, 0]
-
-        lum_t = to_lum(jnp.asarray(t))
-        lum_r = to_lum(jnp.asarray(r))
+        # shared jitted program keyed by the hashable photometry — repeat
+        # predict_batch calls must not retrace the EOTF pipeline
+        lum_t = _batch_to_luminance(jnp.asarray(t), self.display_photometry,
+                                    rgb2y)
+        lum_r = _batch_to_luminance(jnp.asarray(r), self.display_photometry,
+                                    rgb2y)
         if self.contrast == "log":
             lum_t = jnp.log10(jnp.clip(lum_t, 1e-6, None))
             lum_r = jnp.log10(jnp.clip(lum_r, 1e-6, None))

@@ -112,7 +112,8 @@ def shard_video_block_fn(core, filt: np.ndarray, mesh: Mesh):
 
 
 def shard_video_block_step_fn(core, filt: np.ndarray, mesh: Mesh,
-                              static_gaze=None, log_contrast: bool = False):
+                              static_gaze=None, log_contrast: bool = False,
+                              defer_tables: bool = False):
     """Sharded streaming step: the multi-chip analog of
     MetricCore.video_block_step_fn (same carry-in/carry-out contract), so
     ``fvvdp.predict`` can stream ONE long video over a whole mesh.
@@ -127,25 +128,28 @@ def shard_video_block_step_fn(core, filt: np.ndarray, mesh: Mesh,
     shard.  B must be divisible by the mesh size (``fvvdp`` rounds its block
     size up and pads tail blocks).  With ``static_gaze`` the foveated CSF
     tables are computed once and replicated; a moving gaze shards with its
-    frames.
+    frames.  ``defer_tables=True`` returns fn(..., tables) binding the CSF
+    tables per CALL, so a cached step serves every fixation point without
+    recompiling.
     """
     import jax.numpy as jnp
 
     from fovvideovdp_tpu.ops import temporal as temporal_ops
 
     tables = core._static_fov_tables(static_gaze)
+    use_tabs = defer_tables or tables is not None
     filt_np = np.asarray(filt, dtype=np.float32)
     fl = filt_np.shape[1]
-    gaze_in_sig = core.foveated and tables is None
+    gaze_in_sig = core.foveated and not use_tabs
     n_dev = _mesh_size(mesh)
     axes = _frame_axes(mesh)
 
     r_spec = P(axes, None, None, None)
     extra_specs = (P(axes, None),) if gaze_in_sig else \
-        ((P(),) if tables is not None else ())
+        ((P(),) if use_tabs else ())
 
     def score_shard(R, *extra):
-        if tables is not None:
+        if use_tabs:
             Q, heat = core.score_frames(R, None, temp_ch=2, fov_tables=extra[0])
         else:
             gaze = extra[0] if gaze_in_sig else None
@@ -179,20 +183,25 @@ def shard_video_block_step_fn(core, filt: np.ndarray, mesh: Mesh,
 
     repl = NamedSharding(mesh, P())
     frame_shard = NamedSharding(mesh, P(axes, None, None))
-    extra_shardings = (NamedSharding(mesh, P(axes, None)),) if gaze_in_sig \
-        else ((jax.tree.map(lambda _: repl, tables),) if tables is not None
-              else ())
-    jitted = jax.jit(step, in_shardings=(repl, repl, frame_shard, frame_shard)
-                     + extra_shardings)
+    base_shardings = (repl, repl, frame_shard, frame_shard)
+    state = {}  # the tables' jit is built on first call (needs the pytree)
 
     def fn(carry_t, carry_r, new_t, new_r, *extra):
         if new_t.shape[0] % n_dev != 0:
             raise ValueError(
                 f"block size {new_t.shape[0]} not divisible by {n_dev} "
                 f"devices; pass block_frames as a multiple of the device count")
-        if tables is not None:
-            return jitted(carry_t, carry_r, new_t, new_r, tables)
-        return jitted(carry_t, carry_r, new_t, new_r, *extra)
+        if use_tabs:
+            tabs = extra[0] if extra else tables
+            if "jit" not in state:
+                state["jit"] = jax.jit(step, in_shardings=base_shardings
+                                       + (jax.tree.map(lambda _: repl, tabs),))
+            return state["jit"](carry_t, carry_r, new_t, new_r, tabs)
+        if "jit" not in state:
+            gaze_sh = (NamedSharding(mesh, P(axes, None)),) if gaze_in_sig \
+                else ()
+            state["jit"] = jax.jit(step, in_shardings=base_shardings + gaze_sh)
+        return state["jit"](carry_t, carry_r, new_t, new_r, *extra)
 
     return fn
 

@@ -89,6 +89,20 @@ def _frames_to_luminance(frames, dm, rgb2y):
     return _luminance_cfirst(frames.transpose(1, 0, 2, 3), dm, rgb2y)
 
 
+@functools.partial(jax.jit, static_argnames=("dm", "rgb2y"))
+def _batch_to_luminance(x, dm, rgb2y):
+    """(N, C, F, H, W) raw pair batches -> (N, F, H, W) absolute luminance.
+
+    Shared jitted program across predict_batch calls with identical
+    photometry (hashable static argument) — per-channel so only one
+    channel's fp32 intermediate is live at a time."""
+    if x.shape[1] == 3:
+        L = dm.forward(_decode_raw(x[:, 0])) * rgb2y[0]
+        L = L + dm.forward(_decode_raw(x[:, 1])) * rgb2y[1]
+        return L + dm.forward(_decode_raw(x[:, 2])) * rgb2y[2]
+    return dm.forward(_decode_raw(x[:, 0]))
+
+
 def _luminance_cfirst(blk, dm, rgb2y):
     """(C, n, H, W) raw frames -> (n, H, W) absolute luminance.
 
