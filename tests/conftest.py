@@ -40,6 +40,25 @@ if not TPU_MODE:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8").strip()
 
+if TPU_MODE:
+    # A wedged device tunnel blocks forever inside PJRT client creation;
+    # probe in a killable SUBPROCESS before the in-process suite touches the
+    # backend, and bail out loudly instead of hanging the whole run.
+    import subprocess
+    probe = ("import jax, jax.numpy as jnp; "
+             "jnp.ones(8).sum().block_until_ready(); "
+             "print(jax.devices()[0].platform)")
+    try:
+        r = subprocess.run([sys.executable, "-c", probe],
+                           capture_output=True, text=True, timeout=120)
+        ok = r.returncode == 0 and r.stdout.strip().splitlines()[-1] != "cpu"
+        detail = (r.stderr.strip().splitlines() or ["no device"])[-1]
+    except subprocess.TimeoutExpired:
+        ok, detail = False, "backend init hung > 120s (wedged tunnel)"
+    if not ok:
+        raise SystemExit(f"TPU test mode requested but the device backend is "
+                         f"unavailable: {detail}")
+
 import jax  # noqa: E402
 
 if not TPU_MODE:
