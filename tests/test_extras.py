@@ -84,3 +84,31 @@ def test_gog_photometry():
     srgb = fvvdp_display_photo_gog(100, gamma=-1)
     L2 = np.asarray(srgb.forward(jnp.asarray([0.5])))
     assert 18 < L2[0] < 25  # sRGB 0.5 -> ~21% linear
+
+
+def test_odd_sizes_and_dtypes():
+    """Odd/small resolutions and every documented input dtype must score
+    finite JODs — including float16, which the reference's dtype check
+    rejects despite its docstring (SURVEY.md section 7 'quirks')."""
+    from fovvideovdp_tpu import fvvdp
+
+    rng = np.random.RandomState(0)
+    fv = fvvdp(display_name="standard_fhd")
+    for (H, W) in [(17, 33), (64, 31), (16, 16)]:
+        ref = (rng.rand(H, W, 3) * 255).astype(np.uint8)
+        tst = np.clip(ref.astype(np.int16) + rng.randint(-20, 20, ref.shape),
+                      0, 255).astype(np.uint8)
+        q, _ = fv.predict(tst, ref, dim_order="HWC")
+        assert np.isfinite(q) and 0 <= q <= 10, (H, W, q)
+
+    ref16 = rng.rand(32, 48, 3).astype(np.float16)
+    tst16 = np.clip(ref16 + rng.randn(32, 48, 3).astype(np.float16) * 0.05,
+                    0, 1).astype(np.float16)
+    q, _ = fv.predict(tst16, ref16, dim_order="HWC")
+    assert np.isfinite(q)
+
+    g_r = rng.rand(5, 24, 40, 1).astype(np.float32)
+    g_t = np.clip(g_r + rng.randn(5, 24, 40, 1).astype(np.float32) * 0.03,
+                  0, 1)
+    q, _ = fv.predict(g_t, g_r, dim_order="FHWC", frames_per_second=24)
+    assert np.isfinite(q)
