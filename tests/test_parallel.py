@@ -233,6 +233,16 @@ def test_predict_mesh_streaming_matches_single():
                                np.asarray(s1["heatmap"], np.float32),
                                atol=2e-3)
 
+    # device-resident heatmaps stay sharded on the frame axis; values match
+    fv_dev = fvvdp(display_name="standard_fhd", heatmap="threshold",
+                   block_frames=7, device_heatmap=True)
+    q3, s3 = fv_dev.predict(tst, ref, dim_order="FHWC", frames_per_second=30,
+                            mesh=mesh)
+    np.testing.assert_allclose(q3, q1, rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s3["heatmap"], np.float32),
+                               np.asarray(s1["heatmap"], np.float32),
+                               atol=2e-3)
+
 
 def test_predict_mesh_foveated_moving_gaze():
     """A moving gaze shards with its frames; a static fixation point uses the
