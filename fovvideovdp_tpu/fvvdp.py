@@ -510,10 +510,11 @@ class fvvdp:
         Inputs follow ``predict`` conventions but with a leading batch axis
         (any ``dim_order`` containing 'B').  Videos are scored whole-clip in
         device memory: N * n_frames * H * W floats must fit across the mesh.
-        Foveated batches use ONE fixed ``fixation_point`` (x, y) shared by
-        all pairs (default: the screen centre) — the CSF collapses once to
-        per-pixel tables that replicate across the mesh; per-pair or moving
-        gaze is not supported in batch mode (score those pairs singly).
+        Foveated gaze options: one fixed ``fixation_point`` (x, y) shared by
+        all pairs (default: the screen centre; fastest — the CSF collapses
+        once to per-pixel tables replicated across the mesh), per-pair
+        (N, 2) fixation points, or a per-frame (N, F, 2) moving gaze (both
+        shard with their pairs and use the per-frame trilinear CSF).
 
         Returns (Q_JOD (N,) np.ndarray, stats dict).
         """
@@ -525,17 +526,21 @@ class fvvdp:
         from fovvideovdp_tpu.video_source import (_batch_to_luminance,
                                                   reshuffle_dims)
 
+        gaze_mode = None  # None | "tables" (shared fixed) | "per_pair"
         if self.foveated:
             if self.content_mapping is not None:
                 raise RuntimeError("predict_batch does not support foveated "
                                    "content mapping")
             fp = np.asarray([0, 0] if fixation_point is None
                             else fixation_point, dtype=np.float32)
-            if fp.ndim != 1 or fp.shape[0] != 2:
+            if fp.ndim == 1 and fp.shape[0] == 2:
+                gaze_mode = "tables"   # one fixed gaze: per-pixel CSF tables
+            elif fp.ndim in (2, 3) and fp.shape[-1] == 2:
+                gaze_mode = "per_pair"  # per-pair (N,2) / per-frame (N,F,2)
+            else:
                 raise RuntimeError(
-                    "predict_batch supports one fixed fixation point (x, y) "
-                    "shared by all pairs; score per-pair/moving-gaze content "
-                    "with predict instead")
+                    "fixation_point must be (x, y) shared by all pairs, "
+                    "(N, 2) per pair, or (N, F, 2) per frame")
         if "B" not in dim_order.upper():
             raise RuntimeError("predict_batch needs a batch axis; include "
                                "'B' in dim_order")
@@ -609,7 +614,8 @@ class fvvdp:
 
         core = self._get_core(W, H)
         fov_tables = None
-        if self.foveated:
+        gaze_b = None
+        if gaze_mode == "tables":
             if fixation_point is None:
                 fp = np.asarray([W // 2, H // 2], dtype=np.float32)
             fov_tables = core.fov_tables((float(fp[0]), float(fp[1])))
@@ -618,21 +624,41 @@ class fvvdp:
                 # them; a committed single-device array cannot feed a
                 # multi-process program
                 fov_tables = jax.tree.map(np.asarray, fov_tables)
+        elif gaze_mode == "per_pair":
+            if fp.shape[0] != N:
+                raise RuntimeError(f"fixation_point has {fp.shape[0]} rows "
+                                   f"for {N} pairs")
+            gaze_b = fp[:, None, :] if fp.ndim == 2 else fp
+            gaze_b = np.broadcast_to(gaze_b, (N, F, 2)).astype(np.float32)
+            if pad:
+                gaze_b = np.concatenate(
+                    [gaze_b, np.repeat(gaze_b[-1:], pad, axis=0)], axis=0)
         stats = {"width": W, "height": H, "N_frames": F, "N_pairs": N,
                  "frames_per_second": frames_per_second}
         if F == 1:
-            key = ("batch", core, mesh, fov_tables is not None)
+            key = ("batch", core, mesh, gaze_mode)
             if key not in self._shard_fns:
                 self._shard_fns[key] = make_batch_scorer(
                     core, mesh, self.parameters,
-                    defer_tables=fov_tables is not None)
+                    defer_tables=gaze_mode == "tables",
+                    use_gaze=gaze_mode == "per_pair")
             fn = self._shard_fns[key]
             at, ar = lum_t[:, 0], lum_r[:, 0]
             if n_proc > 1:
                 spec = P(axes, None, None)
                 at = local_batch_to_global(mesh, spec, at)
                 ar = local_batch_to_global(mesh, spec, ar)
-            jods = fn(at, ar) if fov_tables is None else fn(at, ar, fov_tables)
+                if gaze_b is not None:
+                    gaze_b = local_batch_to_global(mesh, P(axes, None),
+                                                   gaze_b[:, 0])
+            elif gaze_b is not None:
+                gaze_b = gaze_b[:, 0]
+            if gaze_mode == "tables":
+                jods = fn(at, ar, fov_tables)
+            elif gaze_mode == "per_pair":
+                jods = fn(at, ar, gaze_b)
+            else:
+                jods = fn(at, ar)
             Q_pc = None
         else:
             fl = temporal_ops.filter_len_for_fps(frames_per_second)
@@ -646,15 +672,22 @@ class fvvdp:
                 spec = P(axes, None, None, None)
                 pt = local_batch_to_global(mesh, spec, pt)
                 pr = local_batch_to_global(mesh, spec, pr)
-            key = ("batchvid", core, mesh, filt.tobytes(),
-                   fov_tables is not None)
+                if gaze_b is not None:
+                    gaze_b = local_batch_to_global(mesh, P(axes, None, None),
+                                                   gaze_b)
+            key = ("batchvid", core, mesh, filt.tobytes(), gaze_mode)
             if key not in self._shard_fns:
                 self._shard_fns[key] = make_batch_video_scorer(
                     core, filt, mesh, self.parameters,
-                    defer_tables=fov_tables is not None)
+                    defer_tables=gaze_mode == "tables",
+                    use_gaze=gaze_mode == "per_pair")
             fn = self._shard_fns[key]
-            jods, Q_pc = (fn(pt, pr) if fov_tables is None
-                          else fn(pt, pr, fov_tables))
+            if gaze_mode == "tables":
+                jods, Q_pc = fn(pt, pr, fov_tables)
+            elif gaze_mode == "per_pair":
+                jods, Q_pc = fn(pt, pr, gaze_b)
+            else:
+                jods, Q_pc = fn(pt, pr)
         if n_proc > 1:
             # all-gather the (tiny) results, then keep this process's rows
             rows = local_row_positions(mesh, int(jods.shape[0]))[:N]

@@ -207,7 +207,7 @@ def shard_video_block_step_fn(core, filt: np.ndarray, mesh: Mesh,
 
 
 def make_batch_scorer(core, mesh: Mesh, pool_params: dict, fov_tables=None,
-                      defer_tables: bool = False):
+                      defer_tables: bool = False, use_gaze: bool = False):
     """Batch-of-image-pairs scorer sharded over the whole mesh.
 
     The reference farms independent pairs out as one SLURM process per GPU
@@ -223,7 +223,11 @@ def make_batch_scorer(core, mesh: Mesh, pool_params: dict, fov_tables=None,
     ``fn(tests, refs, tables)`` that binds the tables per CALL, so a cached
     scorer serves every fixation point without recompiling.
 
-    Returns a jitted fn (tests, refs[, tables]) -> (N,) JOD scores.
+    ``use_gaze=True`` instead makes the returned fn take a per-pair gaze
+    array (N, 2) that shards WITH its pairs — the general foveated case
+    (per-pair fixation points) via the per-frame trilinear CSF.
+
+    Returns a jitted fn (tests, refs[, tables | gaze]) -> (N,) JOD scores.
     """
     import jax.numpy as jnp
 
@@ -240,25 +244,33 @@ def make_batch_scorer(core, mesh: Mesh, pool_params: dict, fov_tables=None,
             pool_params["beta_t"], pool_params["jod_a"],
             pool_params["log_jod_exp"])
 
-    def score_shard(tests, refs, *maybe_tabs):  # (n_loc, H, W) each
-        tabs = maybe_tabs[0] if maybe_tabs else None
+    def score_shard(tests, refs, *extra):  # (n_loc, H, W) each
         R = jnp.stack([tests, refs], axis=1)          # (n_loc, 2, H, W)
-        Q, _ = core.score_frames(R, None, temp_ch=1,
-                                 fov_tables=tabs)     # (n_bands, 2, n_loc)
+        if use_gaze:
+            Q, _ = core.score_frames(R, extra[0], temp_ch=1)
+        else:
+            tabs = extra[0] if extra else None
+            Q, _ = core.score_frames(R, None, temp_ch=1,
+                                     fov_tables=tabs)  # (n_bands, 2, n_loc)
         return jax.vmap(pool_one, in_axes=2)(Q)       # (n_loc,)
 
-    tab_specs = (P(),) if use_tabs else ()  # replicated pytree
+    extra_specs = (P(axes, None),) if use_gaze else \
+        ((P(),) if use_tabs else ())  # gaze shards with pairs; tables repl.
     sharded = jax.shard_map(score_shard, mesh=mesh,
-                            in_specs=(P(axes, None, None),) * 2 + tab_specs,
+                            in_specs=(P(axes, None, None),) * 2 + extra_specs,
                             out_specs=P(axes), check_vma=False)
 
-    def fn(tests, refs, *maybe_tabs):
+    def fn(tests, refs, *extra):
         if tests.shape[0] % n_dev != 0:
             raise ValueError(f"batch {tests.shape[0]} not divisible by "
                              f"{n_dev} devices; pad the batch")
-        return sharded(tests, refs, *maybe_tabs)
+        return sharded(tests, refs, *extra)
 
     batch_sharding = NamedSharding(mesh, P(axes, None, None))
+    if use_gaze:
+        gaze_sharding = NamedSharding(mesh, P(axes, None))
+        return jax.jit(fn, in_shardings=(batch_sharding, batch_sharding,
+                                         gaze_sharding))
     if not use_tabs:
         return jax.jit(fn, in_shardings=(batch_sharding, batch_sharding))
 
@@ -277,7 +289,8 @@ def make_batch_scorer(core, mesh: Mesh, pool_params: dict, fov_tables=None,
 
 def make_batch_video_scorer(core, filt: np.ndarray, mesh: Mesh,
                             pool_params: dict, fov_tables=None,
-                            defer_tables: bool = False):
+                            defer_tables: bool = False,
+                            use_gaze: bool = False):
     """Batch-of-video-pairs scorer: N independent clips in one SPMD program.
 
     Inputs (padded_tests, padded_refs): (N, B + fl - 1, H, W) luminance with
@@ -307,8 +320,7 @@ def make_batch_video_scorer(core, filt: np.ndarray, mesh: Mesh,
             pool_params["beta_tch"], pool_params["beta_t"],
             pool_params["jod_a"], pool_params["log_jod_exp"])
 
-    def score_shard(pt, pr, *maybe_tabs):  # (n_loc, B + fl - 1, H, W)
-        tabs = maybe_tabs[0] if maybe_tabs else None
+    def score_shard(pt, pr, *extra):  # (n_loc, B + fl - 1, H, W)
         n_loc = pt.shape[0]
         B = pt.shape[1] - fl + 1
         Rt = jax.vmap(lambda x: temporal_ops.apply_temporal_filters(x, F_filt))(pt)
@@ -317,26 +329,36 @@ def make_batch_video_scorer(core, filt: np.ndarray, mesh: Mesh,
         R = jnp.stack([Rt[:, :, 0], Rr[:, :, 0], Rt[:, :, 1], Rr[:, :, 1]],
                       axis=2)                          # (n_loc, B, 4, H, W)
         R = R.reshape((n_loc * B,) + R.shape[2:])
-        Q, _ = core.score_frames(R, None, temp_ch=2,
-                                 fov_tables=tabs)      # (n_bands, 2, n_loc*B)
+        if use_gaze:                                   # (n_loc, B, 2) gaze
+            gaze = extra[0].reshape(n_loc * B, 2)
+            Q, _ = core.score_frames(R, gaze, temp_ch=2)
+        else:
+            tabs = extra[0] if extra else None
+            Q, _ = core.score_frames(R, None, temp_ch=2,
+                                     fov_tables=tabs)  # (n_bands, 2, n_loc*B)
         Q = Q.reshape(Q.shape[0], 2, n_loc, B)
         jods = jax.vmap(pool_one, in_axes=2)(Q)        # (n_loc,)
         return jods, Q
 
-    tab_specs = (P(),) if use_tabs else ()  # replicated pytree
+    extra_specs = (P(axes, None, None),) if use_gaze else \
+        ((P(),) if use_tabs else ())  # gaze shards with clips; tables repl.
     sharded = jax.shard_map(score_shard, mesh=mesh,
                             in_specs=(P(axes, None, None, None),) * 2
-                            + tab_specs,
+                            + extra_specs,
                             out_specs=(P(axes), P(None, None, axes, None)),
                             check_vma=False)
 
-    def fn(padded_tests, padded_refs, *maybe_tabs):
+    def fn(padded_tests, padded_refs, *extra):
         if padded_tests.shape[0] % n_dev != 0:
             raise ValueError(f"batch {padded_tests.shape[0]} not divisible "
                              f"by {n_dev} devices; pad the batch")
-        return sharded(padded_tests, padded_refs, *maybe_tabs)
+        return sharded(padded_tests, padded_refs, *extra)
 
     batch_sharding = NamedSharding(mesh, P(axes, None, None, None))
+    if use_gaze:
+        gaze_sharding = NamedSharding(mesh, P(axes, None, None))
+        return jax.jit(fn, in_shardings=(batch_sharding, batch_sharding,
+                                         gaze_sharding))
     if not use_tabs:
         return jax.jit(fn, in_shardings=(batch_sharding, batch_sharding))
 

@@ -200,10 +200,44 @@ def test_predict_batch_foveated_fixed_gaze():
                            fixation_point=gaze)
         np.testing.assert_allclose(jods[i], Qi, rtol=1e-5, atol=1e-4)
 
-    # per-pair / moving gaze is rejected loudly, not silently mis-scored
+    # per-pair fixation points shard with their pairs (trilinear CSF path)
+    per_pair = np.stack([np.linspace(5, W - 5, N),
+                         np.linspace(5, H - 5, N)], axis=1).astype(np.float32)
+    jods_pp, _ = fv.predict_batch(tst, ref, dim_order="BHWC",
+                                  fixation_point=per_pair)
+    for i in range(N):
+        Qi, _ = fv.predict(tst[i], ref[i], dim_order="HWC",
+                           fixation_point=per_pair[i])
+        np.testing.assert_allclose(jods_pp[i], Qi, rtol=1e-5, atol=1e-4)
+
+    # malformed gaze shapes are rejected loudly
     with pytest.raises(RuntimeError):
         fv.predict_batch(tst, ref, dim_order="BHWC",
-                         fixation_point=np.zeros((N, 2), np.float32))
+                         fixation_point=np.zeros((N, 3), np.float32))
+    with pytest.raises(RuntimeError):  # wrong pair count
+        fv.predict_batch(tst, ref, dim_order="BHWC",
+                         fixation_point=np.zeros((N + 1, 2), np.float32))
+
+
+def test_predict_batch_foveated_moving_gaze_video():
+    """(N, F, 2) per-frame gaze in a video batch equals per-pair predict
+    with the same moving gaze."""
+    from fovvideovdp_tpu import fvvdp
+
+    rng = np.random.RandomState(13)
+    N, F, H, W = 2, 4, 32, 48
+    ref = (rng.rand(N, F, H, W, 3) * 255).astype(np.uint8)
+    tst = np.clip(ref.astype(np.int16) + rng.randint(-25, 25, ref.shape),
+                  0, 255).astype(np.uint8)
+    gaze = rng.rand(N, F, 2).astype(np.float32) * [W - 1, H - 1]
+
+    fv = fvvdp(display_name="standard_hmd", foveated=True)
+    jods, _ = fv.predict_batch(tst, ref, dim_order="BFHWC",
+                               frames_per_second=30, fixation_point=gaze)
+    for i in range(N):
+        Qi, _ = fv.predict(tst[i], ref[i], dim_order="FHWC",
+                           frames_per_second=30, fixation_point=gaze[i])
+        np.testing.assert_allclose(jods[i], Qi, rtol=1e-5, atol=1e-4)
 
 
 def test_predict_mesh_streaming_matches_single():
