@@ -22,9 +22,11 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--display", default="standard_4k")
     ap.add_argument("--variants", nargs="+", default=["plain"],
-                    choices=["plain", "heatmap", "foveated"],
+                    choices=["plain", "heatmap", "foveated", "batch"],
                     help="heatmap = threshold heatmap rendered+downloaded per "
-                         "block; foveated = eccentricity-dependent CSF")
+                         "block; foveated = eccentricity-dependent CSF; "
+                         "batch = 8 image pairs in one SPMD program "
+                         "(predict_batch; frames=1 rows only)")
     args = ap.parse_args()
 
     sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1]))
@@ -48,6 +50,30 @@ def main():
                           + rng.randint(-10, 10, ref.shape), 0, 255).astype(np.uint8)
             fps = 0 if F == 1 else 30
             for variant in args.variants:
+                if variant == "batch":
+                    if F != 1:
+                        continue  # the batch row measures image pairs
+                    fv = metrics["plain"]
+                    Nb = 8
+                    tst_b = np.repeat(tst[None, ..., 0], Nb, axis=0)
+                    ref_b = np.repeat(ref[None, ..., 0], Nb, axis=0)
+                    jods, _ = fv.predict_batch(tst_b, ref_b,
+                                               dim_order="BHWC")  # warm-up
+                    best = None
+                    for _ in range(args.repeats):
+                        t0 = time.time()
+                        jods, _ = fv.predict_batch(tst_b, ref_b,
+                                                   dim_order="BHWC")
+                        dt = time.time() - t0
+                        best = dt if best is None else min(best, dt)
+                    print(json.dumps({
+                        "resolution": f"{W}x{H}", "frames": 1,
+                        "variant": "batch", "pairs": Nb,
+                        "seconds": round(best, 4),
+                        "pairs_per_s": round(Nb / best, 2),
+                        "Q_jod": round(float(jods[0]), 4),
+                    }), flush=True)
+                    continue
                 fv = metrics[variant]
                 vs = fvvdp_video_source_array(
                     tst, ref, fps, dim_order="HWCF",
