@@ -331,6 +331,11 @@ class fvvdp:
             if checkpoint_path and self.do_heatmap:
                 raise RuntimeError("checkpoint_path is not supported together "
                                    "with heatmaps")
+            if checkpoint_path and not vid_source.supports_random_access():
+                raise RuntimeError(
+                    "checkpoint/resume needs a random-access video source "
+                    "(resuming must skip already-scored frames): use "
+                    "preload=True, a .yuv file, or array input")
             fingerprint = None
             if checkpoint_path:
                 pad_code = {"replicate": 0, "circular": 1, "pingpong": 2}[

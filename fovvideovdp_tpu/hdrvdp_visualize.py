@@ -60,7 +60,6 @@ def _blur_gaussian(X, sigma):
     g = (g / g.sum()).astype(np.float32)
     pad = ksize2
     Xp = jnp.pad(X, ((pad, pad), (pad, pad)))
-    Y = jnp.apply_along_axis  # noqa: F841  (readability)
     # separable same-size convolution with zero padding (matches conv2 'same')
     rows = jax.vmap(lambda r: jnp.convolve(r, g, mode="valid"))(Xp)
     cols = jax.vmap(lambda c: jnp.convolve(c, g, mode="valid"),

@@ -12,6 +12,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# NB: these are numerically the BT.601 full-range coefficients; the true
+# BT.709 matrix would be [1, 0, 1.5748 / 1, -.1873, -.4681 / 1, 1.8556, 0].
+# The reference uses exactly these values for its "BT.709" path
+# (pyfvvdp/video_source_file.py:233-235, video_source_yuv.py:179-181), and
+# the published golden JODs were produced through them — kept verbatim as
+# the parity contract.
 YCBCR2RGB_REC709 = np.array([[1.0, 0.0, 1.402],
                              [1.0, -0.344136, -0.714136],
                              [1.0, 1.772, 0.0]], dtype=np.float32)

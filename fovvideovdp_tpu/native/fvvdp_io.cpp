@@ -56,7 +56,8 @@ struct Slot {
 };
 
 struct YuvReader {
-  FILE* f = nullptr;
+  FILE* f = nullptr;  // owns the handle (fclose); POSIX reads go through fd
+  int fd = -1;
   YuvFormat fmt;
   long n_frames = 0;
 
@@ -68,6 +69,7 @@ struct YuvReader {
   std::atomic<bool> stop{false};
   long next_prefetch = 0;   // next frame the worker should read
   int ring_size = 4;
+  std::mutex read_mu;  // non-POSIX only: serialize the shared file position
 
   ~YuvReader() {
     stop.store(true);
@@ -76,14 +78,31 @@ struct YuvReader {
     if (f) fclose(f);
   }
 
+  // Called concurrently by the prefetch worker and fetch(); must not share
+  // a file position between threads (an interleaved seek would silently
+  // deliver the wrong frame's bytes).  POSIX pread carries its own offset;
+  // elsewhere a mutex serializes seek+read.
   bool read_frame_at(long idx, uint8_t* dst) {
     if (idx < 0 || idx >= n_frames) return false;
+    const size_t fb = fmt.frame_bytes();
 #if defined(_WIN32)
-    _fseeki64(f, (long long)idx * fmt.frame_bytes(), SEEK_SET);
+    std::lock_guard<std::mutex> lk(read_mu);
+    _fseeki64(f, (long long)idx * fb, SEEK_SET);
+    return fread(dst, 1, fb, f) == fb;
 #else
-    fseeko(f, (off_t)idx * fmt.frame_bytes(), SEEK_SET);
+    size_t got = 0;
+    while (got < fb) {
+      ssize_t n = ::pread(fd, dst + got, fb - got,
+                          (off_t)((size_t)idx * fb + got));
+      if (n == 0) return false;
+      if (n < 0) {
+        if (errno == EINTR) continue;
+        return false;
+      }
+      got += (size_t)n;
+    }
+    return true;
 #endif
-    return fread(dst, 1, fmt.frame_bytes(), f) == fmt.frame_bytes();
   }
 
   void worker_loop() {
@@ -246,6 +265,9 @@ void* fvvdp_yuv_open(const char* path, int width, int height, int bit_depth,
   if (!f) return nullptr;
   auto* r = new YuvReader();
   r->f = f;
+#if !defined(_WIN32)
+  r->fd = fileno(f);
+#endif
   r->fmt = YuvFormat{width, height, bit_depth, chroma_ss};
 #if defined(_WIN32)
   _fseeki64(f, 0, SEEK_END);

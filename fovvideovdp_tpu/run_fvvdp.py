@@ -203,7 +203,10 @@ def main(argv=None):
         logging.info(f"Predicting the quality of '{test_file}' compared to "
                      f"'{ref_file}'")
         for mm in metrics:
-            preload = args.temp_padding != "replicate"
+            # non-replicate padding and checkpoint/resume both need random
+            # access to the decoded frames
+            preload = args.temp_padding != "replicate" \
+                or args.checkpoint is not None
             vs = fvvdp_video_source_file(
                 test_file, ref_file,
                 display_photometry=display_photometry,

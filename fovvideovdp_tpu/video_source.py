@@ -189,6 +189,13 @@ class fvvdp_video_source(ABC):
     def get_reference_frame(self, frame: int, device=None) -> jnp.ndarray:
         ...
 
+    def supports_random_access(self) -> bool:
+        """Whether frames can be fetched at arbitrary positions (arrays,
+        .yuv memmap, preloaded files).  Streaming pipe sources override this
+        with False; checkpoint/resume and circular/pingpong padding need
+        random access."""
+        return True
+
     # -- blocked access (the TPU fast path) ---------------------------------
     def get_luminance_block(self, start: int, count: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """(test, reference) luminance blocks of shape (count, H, W).

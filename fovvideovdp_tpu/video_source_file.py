@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from fovvideovdp_tpu.io import RESIZE_METHODS
 from fovvideovdp_tpu.io import yuv as yuv_io
 from fovvideovdp_tpu.io.images import load_image_as_array
 from fovvideovdp_tpu.video_source import (fvvdp_video_source,
@@ -65,7 +66,9 @@ def _stream_frame_count(stream: dict, probe: dict, fps: float) -> int:
     for src in (stream, probe.get("format", {})):
         dur = src.get("duration")
         if dur is not None:
-            return int(round(float(dur) * fps))
+            # floor, not round: over-estimating by one makes the final block
+            # read fail after the whole video has been scored
+            return int(float(dur) * fps)
     raise RuntimeError(
         "Cannot determine the video frame count (no nb_frames/duration "
         "metadata); pass frames=N explicitly.")
@@ -86,7 +89,13 @@ class video_reader:
         self.color_space = stream.get("color_space", "unknown")
         self.color_transfer = stream.get("color_transfer", "unknown")
         self.in_pix_fmt = stream["pix_fmt"]
-        num, den = (float(x) for x in stream["r_frame_rate"].split("/"))
+        # avg_frame_rate = frames/duration; r_frame_rate is the container's
+        # base tick rate, which over-reports for VFR/telecined streams (e.g.
+        # 59.94 for 23.976 fps soft-telecine) — wrong temporal filters
+        rate = stream.get("avg_frame_rate", "0/0")
+        num, den = (float(x) for x in rate.split("/"))
+        if num <= 0 or den <= 0:
+            num, den = (float(x) for x in stream["r_frame_rate"].split("/"))
         self.avg_fps = num / den
         if frames != -1 and "nb_frames" not in stream:
             num_frames = frames  # caller-specified count, metadata optional
@@ -143,7 +152,7 @@ class video_reader:
                      "-f", "rawvideo", "-pix_fmt", out_pix_fmt, "pipe:"])
 
     def get_frame(self) -> Optional[np.ndarray]:
-        if self.curr_frame == self.frames:
+        if self.curr_frame + 1 >= self.frames:
             return None
         pipe = self._pipe_reader()
         if pipe:
@@ -246,9 +255,15 @@ class video_reader_yuv_device(video_reader):
     def _setup_ffmpeg(self, vidfile, resize_fn, resize_height, resize_width, verbose):
         m = re.search(r"p(\d+)", self.in_pix_fmt)
         self.bit_depth = 8 if m is None else int(m.group(1))
-        self.chroma_ss = self.in_pix_fmt[3:6]
+        # search, not a fixed slice: full-range 'yuvj420p' and alpha
+        # 'yuva420p' formats put the subsampling digits at varying offsets
+        m_ss = re.search(r"(444|422|420)", self.in_pix_fmt)
+        self.chroma_ss = m_ss.group(1) if m_ss else self.in_pix_fmt
         if self.chroma_ss not in ("444", "420"):
-            raise RuntimeError(f"Unrecognized chroma subsampling {self.chroma_ss}")
+            raise RuntimeError(
+                f"Unsupported chroma subsampling in pix_fmt "
+                f"'{self.in_pix_fmt}' (device path handles 420/444; pass "
+                f"ffmpeg_cc=True / --ffmpeg-cc to convert in ffmpeg)")
 
         if self.bit_depth > 8:
             self.dtype = np.uint16
@@ -287,8 +302,7 @@ class video_reader_yuv_device(video_reader):
         RGB = jax.vmap(to_rgb)(Y, u, v)  # (n, H, W, 3)
         if getattr(self, "resize_fn", None) is not None and \
                 (self.height != self.resize_height or self.width != self.resize_width):
-            method = {"nearest": "nearest", "bilinear": "bilinear",
-                      "bicubic": "cubic", "area": "linear"}[self.resize_fn]
+            method = RESIZE_METHODS[self.resize_fn]
             RGB = jax.image.resize(
                 RGB, (n, self.resize_height, self.resize_width, 3),
                 method=method)
@@ -313,7 +327,8 @@ class fvvdp_video_source_video_file(fvvdp_video_source_dm):
         self.test_vidr = reader(test_fname, frames, resize_fn=full_screen_resize,
                                 resize_width=fs_width, resize_height=fs_height,
                                 verbose=verbose)
-        self.frames = self.test_vidr.frames if frames == -1 else frames
+        self.frames = self.test_vidr.frames if frames == -1 \
+            else min(frames, self.test_vidr.frames)
 
         if color_space_name == "auto":
             color_space_name = "BT.2020" \
@@ -335,6 +350,9 @@ class fvvdp_video_source_video_file(fvvdp_video_source_dm):
 
     def get_frames_per_second(self):
         return self.test_vidr.avg_fps
+
+    def supports_random_access(self):
+        return False  # strictly sequential ffmpeg pipes (preload overrides)
 
     def _rgb_to_luminance(self, RGB_hwc: jnp.ndarray) -> jnp.ndarray:
         frame = RGB_hwc.transpose(2, 0, 1)[None]  # (1, C, H, W)
@@ -412,6 +430,9 @@ class fvvdp_video_source_video_file(fvvdp_video_source_dm):
 class fvvdp_video_source_video_file_preload(fvvdp_video_source_video_file):
     """Preloads all decoded frames into host RAM for random access
     (parity: pyfvvdp/video_source_file.py:378-408)."""
+
+    def supports_random_access(self):
+        return True
 
     def _ensure_loaded(self):
         if hasattr(self, "frame_array_tst"):
@@ -515,6 +536,9 @@ class fvvdp_video_source_file(fvvdp_video_source):
 
     def get_frames_per_second(self):
         return self.vs.get_frames_per_second()
+
+    def supports_random_access(self):
+        return self.vs.supports_random_access()
 
     def get_test_frame(self, frame, device=None):
         return self.vs.get_test_frame(frame, device)

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from fovvideovdp_tpu.io import RESIZE_METHODS
 from fovvideovdp_tpu.io import yuv as yuv_io
 from fovvideovdp_tpu.video_source import fvvdp_video_source_dm
 
@@ -29,11 +30,9 @@ def decode_video_props(fname: str) -> dict:
     res_match = re.compile(r"(\d+)x(\d+)p?")
 
     for field in bname.split("_"):
-        if res_match.match(field):
-            res = field.split("x")
-            if len(res) != 2:
-                raise ValueError("Cannot decode the resolution")
-            vprops["width"], vprops["height"] = int(res[0]), int(res[1])
+        m = res_match.fullmatch(field)
+        if m:  # use the groups: '1920x1080p' must parse, not int('1080p')
+            vprops["width"], vprops["height"] = int(m.group(1)), int(m.group(2))
             continue
         if field.endswith("fps"):
             vprops["fps"] = float(field[:-3])
@@ -185,8 +184,7 @@ def _yuv_block_to_luminance(raw, w, h, bd, ss, bt2020, resize, rh, rw, dm, rgb2y
     def one(Yf, uf, vf):
         RGB = jnp.clip(yuv_io.yuv_to_rgb(Yf, uf, vf, bd, ss, bt2020), 0.0, 1.0)
         if resize is not None and (h != rh or w != rw):
-            method = {"nearest": "nearest", "bilinear": "bilinear",
-                      "bicubic": "cubic", "area": "linear"}[resize]
+            method = RESIZE_METHODS[resize]
             RGB = jnp.clip(jax.image.resize(RGB, (rh, rw, 3), method=method),
                            0.0, 1.0)
         return RGB
@@ -236,8 +234,7 @@ class fvvdp_video_source_yuv_file(fvvdp_video_source_dm):
         if self.full_screen_resize is not None and \
                 (vid_reader.height != self.resize_resolution[1]
                  or vid_reader.width != self.resize_resolution[0]):
-            method = {"nearest": "nearest", "bilinear": "bilinear",
-                      "bicubic": "cubic", "area": "linear"}[self.full_screen_resize]
+            method = RESIZE_METHODS[self.full_screen_resize]
             RGB = jnp.clip(jax.image.resize(
                 RGB, (self.resize_resolution[1], self.resize_resolution[0], 3),
                 method=method), 0.0, 1.0)

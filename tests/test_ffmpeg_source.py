@@ -161,3 +161,54 @@ def test_cli_video_end_to_end(fake_ffmpeg):
     assert out.returncode == 0, out.stderr[-2000:]
     jod = float(out.stdout.strip().split()[-1])
     assert 0 <= jod <= 10
+
+
+def test_vfr_uses_avg_frame_rate(fake_ffmpeg):
+    """avg_frame_rate (frames/duration) beats r_frame_rate (container tick
+    rate, over-reports for VFR/telecine) — wrong fps means wrong temporal
+    filters."""
+    from fovvideovdp_tpu.video_source_file import video_reader_yuv_device
+    tst, _ = _make_video(fake_ffmpeg, "tst", seed=0, probe_overrides={
+        "avg_frame_rate": "24000/1001", "r_frame_rate": "60000/1001"})
+    vr = video_reader_yuv_device(tst)
+    assert abs(vr.avg_fps - 23.976) < 0.01
+    vr.close()
+    # missing/zero avg_frame_rate falls back to r_frame_rate
+    tst2, _ = _make_video(fake_ffmpeg, "tst2", seed=0, probe_overrides={
+        "avg_frame_rate": "0/0"})
+    vr2 = video_reader_yuv_device(tst2)
+    assert vr2.avg_fps == 30.0
+    vr2.close()
+
+
+def test_full_range_pix_fmt(fake_ffmpeg):
+    """'yuvj420p' (full-range, MJPEG-style) must parse as 420 subsampling —
+    a fixed [3:6] slice used to see 'j42' and abort."""
+    from fovvideovdp_tpu.video_source_file import video_reader_yuv_device
+    tst, _ = _make_video(fake_ffmpeg, "tst", seed=0,
+                         probe_overrides={"pix_fmt": "yuvj420p"})
+    vr = video_reader_yuv_device(tst)
+    assert vr.chroma_ss == "420"
+    assert vr.get_frame() is not None
+    vr.close()
+
+
+def test_checkpoint_needs_random_access(fake_ffmpeg):
+    """A strictly-sequential pipe source cannot resume mid-video: asking for
+    checkpointing on it must raise (the CLI forces preload instead)."""
+    from fovvideovdp_tpu import fvvdp
+    from fovvideovdp_tpu.video_source_file import fvvdp_video_source_file
+
+    tst, _ = _make_video(fake_ffmpeg, "tst", seed=0)
+    ref, _ = _make_video(fake_ffmpeg, "ref", seed=1)
+    fv = fvvdp(display_name="standard_fhd")
+
+    vs = fvvdp_video_source_file(tst, ref, display_photometry="standard_fhd")
+    with pytest.raises(RuntimeError, match="random-access"):
+        fv.predict_video_source(vs, checkpoint_path="/tmp/never-written.ckpt")
+
+    vs_pre = fvvdp_video_source_file(tst, ref, display_photometry="standard_fhd",
+                                     preload=True)
+    ckpt = os.path.join(fake_ffmpeg, "s.ckpt")
+    Q, _ = fv.predict_video_source(vs_pre, checkpoint_path=ckpt)
+    assert np.isfinite(Q) and not os.path.isfile(ckpt)

@@ -136,3 +136,9 @@ def test_cli_all_devices_matches_single(yuv_pair):
     mesh = _run_cli(base + ["--all-devices"], n_devices=4)
     assert mesh.returncode == 0, mesh.stderr
     assert abs(float(solo.stdout.strip()) - float(mesh.stdout.strip())) < 1e-3
+
+
+def test_yuv_props_trailing_p():
+    props = decode_video_props("clip_1280x720p_8b_420_709_30fps.yuv")
+    assert (props["width"], props["height"]) == (1280, 720)
+    assert props["color_space"] == "709"

@@ -152,3 +152,31 @@ def test_yuvreader_uses_native(yuv_file):
     np.testing.assert_array_equal(blk, frames[:2])
     if native.load() is not None:
         assert r.native is not None
+
+
+def test_native_reader_prefetch_race(tmp_path):
+    """Every delivered frame must carry ITS OWN bytes while the prefetch
+    worker runs concurrently.  (The reader once shared one FILE* position
+    between the worker and fetch(); interleaved seeks silently delivered the
+    wrong frame — POSIX pread carries its own offset.)"""
+    if native.load() is None:
+        pytest.skip("no C++ toolchain")
+    H, W, F = 16, 64, 64
+    fname = tmp_path / f"clip_{W}x{H}_8b_420_709_30fps.yuv"
+    fpx = W * H * 3 // 2
+    with open(fname, "wb") as f:
+        for i in range(F):  # frame i = constant byte i
+            f.write(np.full(fpx, i, dtype=np.uint8).tobytes())
+    r = native.NativeYuvReader(str(fname), W, H, 8, "420")
+    rng = np.random.RandomState(1)
+    for _ in range(20):  # mixed sequential + random access, racing prefetch
+        start = int(rng.randint(0, F - 4))
+        blk = r.read_block(start, 4)
+        for k in range(4):
+            assert (blk[k] == start + k).all(), \
+                f"frame {start + k} delivered foreign bytes"
+        idx = [int(i) for i in rng.randint(0, F, 3)]
+        got = r.read_indices(idx)
+        for k, i in enumerate(idx):
+            assert (got[k] == i).all(), f"frame {i} delivered foreign bytes"
+    r.close()
