@@ -39,6 +39,11 @@ class MetricCore:
     heatmap : None | "raw" | "threshold" | "supra-threshold" | "monochromatic".
     """
 
+    # distinct static fixation points whose per-pixel CSF tables stay
+    # resident in HBM (each 4K entry is GB-scale — unbounded caching would
+    # OOM the chip after a handful of distinct gazes)
+    _FOV_CACHE_ENTRIES = 2
+
     def __init__(self, plan: PyramidPlan, params: Dict, luts: Sequence[Dict],
                  geometry=None, foveated: bool = False,
                  heatmap: Optional[str] = None, content_mapping=None,
@@ -59,7 +64,7 @@ class MetricCore:
         self.masking_model = params.get("masking_model",
                                         "min_mutual_masking_perc_norm2")
         self._fn_cache: Dict = {}
-        self._fov_table_cache: Dict = {}
+        self._fov_table_cache: Dict = {}  # insertion-ordered dict as LRU
         # Both shipped LUTs (omega = 0/5 Hz) share one Y grid, letting the
         # fused kernel score both temporal channels in a single pass.
         self._luts_share_Y = (
@@ -131,10 +136,16 @@ class MetricCore:
         caching N_nCSF per band for a fixed gaze, pyfvvdp/fvvdp.py:414).
 
         Costs n_grid floats of HBM per pixel per band per channel; computed
-        on device, cached per fixation point.
+        on device, cached for the most recent fixation points only (one 4K
+        entry is GB-scale — an unbounded cache would OOM the chip after a
+        handful of distinct gazes).
         """
         key = (float(gaze_xy[0]), float(gaze_xy[1]))
-        if key not in self._fov_table_cache:
+        if key in self._fov_table_cache:          # LRU refresh
+            self._fov_table_cache[key] = self._fov_table_cache.pop(key)
+        else:
+            while len(self._fov_table_cache) >= self._FOV_CACHE_ENTRIES:
+                self._fov_table_cache.pop(next(iter(self._fov_table_cache)))
             gaze_dir = self.geometry.pix2view_direction(
                 (self.plan.W, self.plan.H),
                 jnp.asarray([key[0] + 0.5]), jnp.asarray([key[1] + 0.5]))
@@ -350,18 +361,10 @@ class MetricCore:
             if fused_ok:
                 from fovvideovdp_tpu.ops.pallas import band_score as bs
                 if bs.supports(band.shape[-2], band.shape[-1]):
+                    # (the shared-Y two-channel case never reaches here — it
+                    # returned through the fully-fused path above; this loop
+                    # serves per-channel LUTs, e.g. user .mat caches)
                     inv_norm = float(npix) ** (1.0 / p["beta"])
-                    if temp_ch == 2 and self._luts_share_Y:
-                        # both channels share L_bkg, so one kernel computes
-                        # the hat weights once and scores both
-                        ssum2 = bs.band_score2_pallas(
-                            band, L_bkg, self._score_tables[bb],
-                            self._score_lut, p["mask_p"], p["mask_q_sust"],
-                            p["mask_q_trans"], p["mask_c"], sens_corr,
-                            p["beta"])          # (F, 2)
-                        Q_rows.append(jnp.transpose(
-                            jnp.power(ssum2, 1.0 / p["beta"]) / inv_norm))
-                        continue
                     for cc in range(temp_ch):
                         ssum = bs.band_score_pallas(
                             band[:, cc * 2], band[:, cc * 2 + 1], L_bkg,

@@ -181,13 +181,14 @@ def temporal_channels(padded_t: jnp.ndarray, padded_r: jnp.ndarray,
         from fovvideovdp_tpu.ops.pallas.temporal import temporal_channels_pallas
         fl = F.shape[1]
         n_out = padded_t.shape[0] - fl + 1
-        # The kernel keeps all n_out outputs of a row tile in VMEM; for big
-        # frame blocks even the minimum 8-row tile double-buffered exceeds
-        # the ~16 MB scoped-VMEM limit.  Split the block (windows overlap by
-        # fl - 1 frames, so the only cost is re-reading those rows).
+        # The kernel keeps all n_out outputs of a row tile in VMEM; for very
+        # large frame blocks even the minimum 8-row tile double-buffered
+        # exceeds the raised VMEM cap (same budget as the pair path).  Split
+        # the block (windows overlap by fl - 1 frames, so the only cost is
+        # re-reading those rows).
         Wp = -(-padded_t.shape[2] // 128) * 128
         bytes_tile8 = (2 * padded_t.shape[0] + 4 * n_out) * Wp * 4 * 8 * 2
-        if bytes_tile8 > (155 << 20) // 10 and n_out > 1:
+        if bytes_tile8 > _VMEM_SPLIT_BYTES and n_out > 1:
             half = n_out // 2
             a = temporal_channels(padded_t[:half + fl - 1],
                                   padded_r[:half + fl - 1], F)

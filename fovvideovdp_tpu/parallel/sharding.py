@@ -161,6 +161,8 @@ def shard_video_block_step_fn(core, filt: np.ndarray, mesh: Mesh,
         out_specs=(P(None, None, axes),) + ((r_spec,) if core.do_heatmap else ()),
         check_vma=False)
 
+    F_filt_arr = jnp.asarray(filt_np)
+
     def step(carry_t, carry_r, new_t, new_r, *extra):
         if log_contrast:
             new_t = jnp.log10(jnp.clip(new_t, 1e-6, None))
@@ -168,7 +170,13 @@ def shard_video_block_step_fn(core, filt: np.ndarray, mesh: Mesh,
         B = new_t.shape[0]
         padded_t = jnp.concatenate([carry_t, new_t], axis=0)
         padded_r = jnp.concatenate([carry_r, new_r], axis=0)
-        R = temporal_ops.temporal_channels(padded_t, padded_r, filt_np)
+        # jnp temporal filtering ON PURPOSE (same as shard_video_block_fn):
+        # this runs under plain jit where GSPMD partitions it over the frame
+        # axis; the Pallas temporal kernel has no SPMD partitioning rule and
+        # would force replication of the whole global block on a real mesh.
+        Rt = temporal_ops.apply_temporal_filters(padded_t, F_filt_arr)
+        Rr = temporal_ops.apply_temporal_filters(padded_r, F_filt_arr)
+        R = jnp.stack([Rt[:, 0], Rr[:, 0], Rt[:, 1], Rr[:, 1]], axis=1)
         R = jax.lax.with_sharding_constraint(R, NamedSharding(mesh, r_spec))
         outs = sharded(R, *extra)
         Q = outs[0]

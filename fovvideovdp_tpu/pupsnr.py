@@ -21,13 +21,6 @@ class pu_psnr:
         pu = self.pu
 
         @jax.jit
-        def frame_psnr(T, R):
-            mse = jnp.mean((pu.encode(T) - pu.encode(R)) ** 2)
-            return 20.0 * jnp.log10(pu.peak / jnp.sqrt(mse))
-
-        self._frame_psnr = frame_psnr
-
-        @jax.jit
         def block_psnr(T, R):
             # (n, H, W) luminance blocks -> (n,) per-frame PU21-PSNR
             mse = jnp.mean((pu.encode(T) - pu.encode(R)) ** 2, axis=(-2, -1))

@@ -112,3 +112,25 @@ def test_odd_sizes_and_dtypes():
                   0, 1)
     q, _ = fv.predict(g_t, g_r, dim_order="FHWC", frames_per_second=24)
     assert np.isfinite(q)
+
+
+def test_fov_table_cache_bounded():
+    """Per-gaze CSF tables are GB-scale at 4K; the cache must stay bounded
+    and evicted gazes must rescore identically."""
+    from fovvideovdp_tpu import fvvdp
+
+    rng = np.random.RandomState(2)
+    ref = (rng.rand(24, 32, 3) * 255).astype(np.uint8)
+    tst = np.clip(ref.astype(np.int16) + rng.randint(-20, 20, ref.shape),
+                  0, 255).astype(np.uint8)
+    fv = fvvdp(display_name="standard_hmd", foveated=True)
+    qs = {}
+    for g in [(2.0, 2.0), (5.0, 5.0), (8.0, 8.0), (11.0, 3.0)]:
+        q, _ = fv.predict(tst, ref, dim_order="HWC",
+                          fixation_point=np.asarray(g, np.float32))
+        qs[g] = q
+    core = next(iter(fv._cores.values()))
+    assert 0 < len(core._fov_table_cache) <= core._FOV_CACHE_ENTRIES
+    q, _ = fv.predict(tst, ref, dim_order="HWC",
+                      fixation_point=np.asarray((2.0, 2.0), np.float32))
+    np.testing.assert_allclose(q, qs[(2.0, 2.0)], rtol=1e-6)
