@@ -134,3 +134,25 @@ def test_fov_table_cache_bounded():
     q, _ = fv.predict(tst, ref, dim_order="HWC",
                       fixation_point=np.asarray((2.0, 2.0), np.float32))
     np.testing.assert_allclose(q, qs[(2.0, 2.0)], rtol=1e-6)
+
+
+def test_jod_invariants():
+    """Behavioral invariants: identical content scores exactly 10 JOD, and
+    quality decreases monotonically with distortion strength."""
+    from fovvideovdp_tpu import fvvdp
+
+    rng = np.random.RandomState(4)
+    ref = (rng.rand(48, 64, 3) * 255).astype(np.uint8)
+    fv = fvvdp(display_name="standard_4k")
+
+    q_same, _ = fv.predict(ref, ref, dim_order="HWC")
+    np.testing.assert_allclose(q_same, 10.0, atol=1e-4)
+
+    prev = 10.0
+    for sigma in (4, 8, 16, 32):
+        tst = np.clip(ref.astype(np.int16)
+                      + rng.randint(-sigma, sigma + 1, ref.shape),
+                      0, 255).astype(np.uint8)
+        q, _ = fv.predict(tst, ref, dim_order="HWC")
+        assert q < prev, f"sigma={sigma}: {q} !< {prev}"
+        prev = q
