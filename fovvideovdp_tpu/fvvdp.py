@@ -254,6 +254,9 @@ class fvvdp:
 
         pass_gaze = self.foveated and static_gaze is None
 
+        if checkpoint_path and (is_image or not self.do_temporal_channels):
+            logging.warning("checkpoint_path applies to the streaming video "
+                            "path only; ignored for this input")
         if is_image:
             t, r = vid_source.get_luminance_block(0, 1)
             t, r = _enc(t), _enc(r)
@@ -338,6 +341,7 @@ class fvvdp:
                     "preload=True, a .yuv file, or array input")
             fingerprint = None
             if checkpoint_path:
+                import zlib
                 pad_code = {"replicate": 0, "circular": 1, "pingpong": 2}[
                     self.temp_padding]  # NB: hash(str) is per-process random
                 # content+config probe: the first LUMINANCE frame folds in the
@@ -347,12 +351,18 @@ class fvvdp:
                 p_t, p_r = vid_source.get_luminance_block(0, 1)
                 probe = np.float64(np.sum(np.asarray(p_t, np.float64))
                                    + 2.0 * np.sum(np.asarray(p_r, np.float64)))
-                fp_gaze = (-1.0, -1.0) if static_gaze is None else static_gaze
+                # calibration + gaze trajectory: resuming under different
+                # metric parameters or a different fixation path must start
+                # fresh, not silently mix the two configurations
+                cfg_crc = zlib.crc32(json.dumps(
+                    self.parameters, sort_keys=True).encode())
+                gaze_crc = zlib.crc32(np.ascontiguousarray(
+                    fixation_point, np.float32).tobytes())
                 fingerprint = np.asarray(
                     [height, width, N_frames, fl, B, pad_code,
                      int(round(fps * 1000)), int(round(self.pix_per_deg * 1e3)),
-                     int(self.foveated), int(log_c),
-                     int(round(fp_gaze[0] * 16)), int(round(fp_gaze[1] * 16)),
+                     int(self.foveated), int(log_c), cfg_crc, gaze_crc,
+                     int(self.content_mapping is not None),
                      np.float64(probe).view(np.int64)], np.int64)
             start_pos, carry_t, carry_r = self._load_checkpoint(
                 checkpoint_path, fingerprint, Q_per_ch)
@@ -572,39 +582,30 @@ class fvvdp:
         # SPMD replacement for the reference's one-SLURM-job-per-GPU farming
         # (pyfvvdp/benchmark_cluster.sh).
         n_proc = jax.process_count()
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        axes = tuple(mesh.axis_names)
         if n_proc > 1:
             from fovvideovdp_tpu.parallel import (local_batch_to_global,
                                                   local_row_positions,
                                                   replicate_to_hosts)
-            from jax.sharding import PartitionSpec as P
             local_devs = [d for d in mesh.devices.flat
                           if d.process_index == jax.process_index()]
             if not local_devs:
                 raise RuntimeError("mesh holds no devices of this process")
             pad_unit = len(local_devs)
-            axes = tuple(mesh.axis_names)
         else:
             pad_unit = n_dev
 
         colorspaces = utils.json2dict(utils.config_files.find("color_spaces.json"))
         rgb2y = tuple(float(c) for c in colorspaces[self.color_space]["RGB2Y"])
 
-        # shared jitted program keyed by the hashable photometry — repeat
-        # predict_batch calls must not retrace the EOTF pipeline
-        lum_t = _batch_to_luminance(jnp.asarray(t), self.display_photometry,
-                                    rgb2y)
-        lum_r = _batch_to_luminance(jnp.asarray(r), self.display_photometry,
-                                    rgb2y)
-        if self.contrast == "log":
-            lum_t = jnp.log10(jnp.clip(lum_t, 1e-6, None))
-            lum_r = jnp.log10(jnp.clip(lum_r, 1e-6, None))
-
-        # pad the batch to a multiple of the (local) device count; extras
-        # are replicas of the last pair and sliced off below
+        # pad the batch to a multiple of the (local) device count BEFORE the
+        # upload (cheap on the raw host dtype); extras are replicas of the
+        # last pair, sliced off below
         pad = (-N) % pad_unit
         if pad:
-            lum_t = jnp.concatenate([lum_t, jnp.repeat(lum_t[-1:], pad, axis=0)])
-            lum_r = jnp.concatenate([lum_r, jnp.repeat(lum_r[-1:], pad, axis=0)])
+            t = np.concatenate([t, np.repeat(t[-1:], pad, axis=0)])
+            r = np.concatenate([r, np.repeat(r[-1:], pad, axis=0)])
         if n_proc > 1:
             # unequal per-process counts would compile mismatched programs
             # (collective deadlock) or silently mis-attribute result rows —
@@ -616,6 +617,26 @@ class fvvdp:
                 raise RuntimeError(
                     "predict_batch requires the same (padded) pair count on "
                     f"every process; got {counts.tolist()}")
+
+        # upload the RAW batch already sharded over the mesh, so neither the
+        # uint frames nor the fp32 luminance ever materialise on one device
+        # ('fit across the mesh' means exactly that) — the EOTF jit follows
+        # its input sharding and computes distributed
+        spec5 = P(axes, None, None, None, None)
+        if n_proc > 1:
+            t_dev = local_batch_to_global(mesh, spec5, t)
+            r_dev = local_batch_to_global(mesh, spec5, r)
+        else:
+            sh5 = NamedSharding(mesh, spec5)
+            t_dev = jax.device_put(t, sh5)
+            r_dev = jax.device_put(r, sh5)
+        # shared jitted program keyed by the hashable photometry — repeat
+        # predict_batch calls must not retrace the EOTF pipeline
+        lum_t = _batch_to_luminance(t_dev, self.display_photometry, rgb2y)
+        lum_r = _batch_to_luminance(r_dev, self.display_photometry, rgb2y)
+        if self.contrast == "log":
+            lum_t = jnp.log10(jnp.clip(lum_t, 1e-6, None))
+            lum_r = jnp.log10(jnp.clip(lum_r, 1e-6, None))
 
         core = self._get_core(W, H)
         fov_tables = None
@@ -648,16 +669,12 @@ class fvvdp:
                     defer_tables=gaze_mode == "tables",
                     use_gaze=gaze_mode == "per_pair")
             fn = self._shard_fns[key]
+            # lum arrays are already sharded/global batch-axis arrays
             at, ar = lum_t[:, 0], lum_r[:, 0]
-            if n_proc > 1:
-                spec = P(axes, None, None)
-                at = local_batch_to_global(mesh, spec, at)
-                ar = local_batch_to_global(mesh, spec, ar)
-                if gaze_b is not None:
-                    gaze_b = local_batch_to_global(mesh, P(axes, None),
-                                                   gaze_b[:, 0])
-            elif gaze_b is not None:
+            if gaze_b is not None:
                 gaze_b = gaze_b[:, 0]
+                if n_proc > 1:
+                    gaze_b = local_batch_to_global(mesh, P(axes, None), gaze_b)
             if gaze_mode == "tables":
                 jods = fn(at, ar, fov_tables)
             elif gaze_mode == "per_pair":
@@ -671,15 +688,13 @@ class fvvdp:
                 frames_per_second, fl, self.sustained_sigma, self.sustained_beta)
             idx = jnp.asarray(temporal_ops.padding_indices(
                 F, fl, self.temp_padding))
+            # lum arrays are already sharded/global; take() keeps the batch
+            # axis sharding
             pt = jnp.take(lum_t, idx, axis=1)
             pr = jnp.take(lum_r, idx, axis=1)
-            if n_proc > 1:
-                spec = P(axes, None, None, None)
-                pt = local_batch_to_global(mesh, spec, pt)
-                pr = local_batch_to_global(mesh, spec, pr)
-                if gaze_b is not None:
-                    gaze_b = local_batch_to_global(mesh, P(axes, None, None),
-                                                   gaze_b)
+            if gaze_b is not None and n_proc > 1:
+                gaze_b = local_batch_to_global(mesh, P(axes, None, None),
+                                               gaze_b)
             key = ("batchvid", core, mesh, filt.tobytes(), gaze_mode)
             if key not in self._shard_fns:
                 self._shard_fns[key] = make_batch_video_scorer(

@@ -38,13 +38,28 @@ def _read_radiance_hdr(path: str) -> np.ndarray:
                 for c in range(4):
                     x = 0
                     while x < W:
-                        n = f.read(1)[0]
+                        b = f.read(1)
+                        if not b:
+                            raise RuntimeError(f"{path}: truncated HDR file")
+                        n = b[0]
                         if n > 128:  # run
-                            row[c, x:x + n - 128] = f.read(1)[0]
+                            v = f.read(1)
+                            if not v:
+                                raise RuntimeError(
+                                    f"{path}: truncated HDR file")
+                            row[c, x:x + n - 128] = v[0]
                             x += n - 128
-                        else:  # literal
-                            row[c, x:x + n] = np.frombuffer(f.read(n), dtype=np.uint8)
+                        elif n > 0:  # literal
+                            lit = f.read(n)
+                            if len(lit) < n:
+                                raise RuntimeError(
+                                    f"{path}: truncated HDR file")
+                            row[c, x:x + n] = np.frombuffer(lit, dtype=np.uint8)
                             x += n
+                        else:  # n == 0 never advances x: corrupt stream
+                            raise RuntimeError(
+                                f"{path}: corrupt HDR RLE (zero-length "
+                                f"literal)")
                 data[y] = row.T
             else:  # flat row
                 rest = f.read(4 * W - 4)

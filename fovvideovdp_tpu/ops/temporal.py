@@ -19,8 +19,15 @@ import numpy as np
 
 
 def filter_len_for_fps(fps: float) -> int:
-    """250 ms of video, rounded up (pyfvvdp/fvvdp.py:228)."""
-    return int(np.ceil(250.0 / (1000.0 / fps)))
+    """250 ms of video, rounded up (pyfvvdp/fvvdp.py:228).
+
+    Clamped to >= 2 taps: below 4 fps a 250 ms window holds a single frame,
+    and the transient filter (a finite difference over the window) needs at
+    least two taps — the reference crashes there (t[1] on a 1-element axis);
+    2 taps degrades gracefully to a one-step difference."""
+    if fps <= 0:
+        raise RuntimeError("frames_per_second must be positive for video")
+    return max(2, int(np.ceil(250.0 / (1000.0 / fps))))
 
 
 def temporal_filters(fps: float, filter_len: int, sustained_sigma: float = 0.5,

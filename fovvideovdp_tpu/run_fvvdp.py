@@ -65,11 +65,24 @@ def np2vid(np_srgb, vidfile, fps, verbose=False):
            "-f", "rawvideo", "-pix_fmt", "rgb24", "-s", f"{W}x{H}",
            "-r", str(fps), "-i", "pipe:",
            "-pix_fmt", "yuv420p", "-crf", "10", vidfile]
-    proc = subprocess.Popen(cmd, stdin=subprocess.PIPE)
-    for fid in range(N):
-        proc.stdin.write((np_srgb[fid] * 255.0).astype(np.uint8).tobytes())
-    proc.stdin.close()
-    proc.wait()
+    # capture stderr only in quiet mode (tiny, error lines only); verbose
+    # streams to the terminal — a full PIPE would deadlock against stdin
+    proc = subprocess.Popen(cmd, stdin=subprocess.PIPE,
+                            stderr=None if verbose else subprocess.PIPE)
+    try:
+        for fid in range(N):
+            # clip before the uint8 cast: 'raw' heatmaps exceed [0, 1] and
+            # would wrap modulo 256 into garbage frames
+            frame8 = (np.clip(np_srgb[fid], 0.0, 1.0) * 255.0).astype(np.uint8)
+            proc.stdin.write(frame8.tobytes())
+        proc.stdin.close()
+    except BrokenPipeError:
+        pass  # encoder died early; surfaced via returncode below
+    err = b"" if verbose else proc.stderr.read()
+    if proc.wait() != 0:
+        raise RuntimeError(
+            f"ffmpeg failed to encode '{vidfile}' (rc={proc.returncode}): "
+            f"{err.decode(errors='replace')[-500:]}")
 
 
 def parse_args(argv=None):

@@ -35,15 +35,22 @@ class FovVideoVDP_Testbench:
                 continue
             if ext == ".npz":
                 with np.load(path) as z:
-                    return np.asarray(z[key]) if key and key in z \
-                        else np.asarray(z[z.files[0]])
+                    if key is not None and key not in z:
+                        raise KeyError(
+                            f"'{key}' not in {path} (has {list(z.files)}) — "
+                            f"refusing to compare against an unrelated array")
+                    return np.asarray(z[key] if key else z[z.files[0]])
             if ext == ".npy":
                 return np.load(path)
             import scipy.io as sio
             m = sio.loadmat(path)
-            k = key if key and key in m else next(
-                kk for kk in m if not kk.startswith("__"))
-            return np.asarray(m[k])
+            if key is not None and key not in m:
+                raise KeyError(f"'{key}' not in {path} (has "
+                               f"{[k for k in m if not k.startswith('__')]})")
+            data_keys = [kk for kk in m if not kk.startswith("__")]
+            if key is None and not data_keys:
+                raise RuntimeError(f"{path} holds no data variables")
+            return np.asarray(m[key if key else data_keys[0]])
         return None
 
     def verify(self, tensor, file: str, key: Optional[str] = None,

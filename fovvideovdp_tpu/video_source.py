@@ -159,6 +159,9 @@ def _upload_as_cfhw(raw: np.ndarray, in_dims: str) -> jnp.ndarray:
     device-side bitcast compiles to a u32[N,4] intermediate whose minor dim
     TPU tiling pads 4 -> 128, a 32x HBM blow-up on multi-byte dtypes.
     """
+    if isinstance(raw, jax.Array) and not isinstance(raw, np.ndarray):
+        # already device-resident: reshuffle in place, no transfer at all
+        return _assemble_cfhw(raw.reshape(-1), in_dims, raw.shape)
     flat = np.ascontiguousarray(raw).reshape(-1)
     chunk = max(1, _UPLOAD_CHUNK_BYTES // raw.dtype.itemsize)
     if flat.size <= chunk:
@@ -258,8 +261,13 @@ class fvvdp_video_source_array(fvvdp_video_source_dm):
         super().__init__(display_photometry=display_photometry,
                          color_space_name=color_space_name)
 
-        test_video = np.asarray(test_video)
-        reference_video = np.asarray(reference_video)
+        # device-resident input stays on device: np.asarray would pull the
+        # whole video to host RAM only to re-upload the identical bytes
+        is_dev = isinstance(test_video, jax.Array) \
+            and not isinstance(test_video, np.ndarray)
+        if not is_dev:
+            test_video = np.asarray(test_video)
+            reference_video = np.asarray(reference_video)
 
         if test_video.shape != reference_video.shape:
             raise RuntimeError(
@@ -275,10 +283,16 @@ class fvvdp_video_source_array(fvvdp_video_source_dm):
         self._raw_ref = reference_video
         self._dim_order = dim_order
 
-        test_video = reshuffle_dims(test_video, dim_order, "BCFHW")  # lazy view
-        reference_video = reshuffle_dims(reference_video, dim_order, "BCFHW")
-
-        B, C, F, H, W = test_video.shape
+        if is_dev:
+            dim_sizes = dict(zip(dim_order.upper(), test_video.shape))
+            B, C, F = (dim_sizes.get(d, 1) for d in "BCF")
+            H, W = dim_sizes["H"], dim_sizes["W"]
+            test_video = reference_video = None  # host views built on demand
+        else:
+            test_video = reshuffle_dims(test_video, dim_order, "BCFHW")  # lazy view
+            reference_video = reshuffle_dims(reference_video, dim_order, "BCFHW")
+            B, C, F, H, W = test_video.shape
+        self._bcfhw_shape = (B, C, F, H, W)
         if B != 1:
             # The reference silently scores only batch item 0
             # (pyfvvdp/fvvdp.py:260 "TODO: proper handling of batches");
@@ -305,8 +319,9 @@ class fvvdp_video_source_array(fvvdp_video_source_dm):
         # than per-block transfers that serialise against compute, and the
         # slice + EOTF + RGB2Y then fuse into one on-device program per block.
         self._dev_videos = None
-        self._preload_device = (test_video.nbytes + reference_video.nbytes
-                                <= self.DEVICE_PRELOAD_LIMIT_BYTES)
+        self._preload_device = is_dev or (
+            self._raw_test.nbytes + self._raw_ref.nbytes
+            <= self.DEVICE_PRELOAD_LIMIT_BYTES)
 
     DEVICE_PRELOAD_LIMIT_BYTES = 4_000_000_000
 
@@ -314,8 +329,8 @@ class fvvdp_video_source_array(fvvdp_video_source_dm):
         return self.fps
 
     def get_video_size(self):
-        sh = self.test_video.shape
-        return (sh[3], sh[4], sh[2])
+        _, _, F, H, W = self._bcfhw_shape
+        return (H, W, F)
 
     # -- blocked path -------------------------------------------------------
     @property
@@ -336,6 +351,11 @@ class fvvdp_video_source_array(fvvdp_video_source_dm):
     def _ensure_host_bcfhw(self):
         """Materialise contiguous host BCFHW (fallback for videos too large
         for device HBM)."""
+        if self.test_video is None:  # device-resident input, host view needed
+            self.test_video = reshuffle_dims(
+                np.asarray(self._raw_test), self._dim_order, "BCFHW")
+            self.reference_video = reshuffle_dims(
+                np.asarray(self._raw_ref), self._dim_order, "BCFHW")
         if not self.test_video.flags["C_CONTIGUOUS"]:
             self.test_video = np.ascontiguousarray(self.test_video)
             self.reference_video = np.ascontiguousarray(self.reference_video)
@@ -446,6 +466,9 @@ class fvvdp_video_source_packed_array(fvvdp_video_source_dm):
         else:
             fp = resize_h * resize_w * 3
             raw = from_array[7 + idx * fp: 7 + (idx + 1) * fp]
+            # packed RGB is full-range in its container dtype (the header's
+            # bit_depth applies to the YUV layout only) — reference contract,
+            # pyfvvdp/video_source.py:275-281
             max_value = 255.0 if from_array.dtype == np.uint8 else 65535.0
             frame = jnp.asarray(raw.reshape(resize_h, resize_w, 3),
                                 dtype=jnp.float32) / max_value

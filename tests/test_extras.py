@@ -156,3 +156,20 @@ def test_jod_invariants():
         q, _ = fv.predict(tst, ref, dim_order="HWC")
         assert q < prev, f"sigma={sigma}: {q} !< {prev}"
         prev = q
+
+
+def test_array_source_accepts_device_arrays():
+    """jnp inputs stay on device (no host round-trip) and score identically
+    to the same data passed as numpy."""
+    import jax.numpy as jnp
+    from fovvideovdp_tpu import fvvdp
+
+    rng = np.random.RandomState(6)
+    ref = (rng.rand(4, 24, 32, 3) * 255).astype(np.uint8)
+    tst = np.clip(ref.astype(np.int16) + rng.randint(-20, 20, ref.shape),
+                  0, 255).astype(np.uint8)
+    fv = fvvdp(display_name="standard_fhd")
+    q_np, _ = fv.predict(tst, ref, dim_order="FHWC", frames_per_second=30)
+    q_dev, _ = fv.predict(jnp.asarray(tst), jnp.asarray(ref),
+                          dim_order="FHWC", frames_per_second=30)
+    np.testing.assert_allclose(q_dev, q_np, rtol=1e-6, atol=1e-6)
