@@ -46,13 +46,32 @@ def forced(use: bool, interpret: bool = False):
         _FORCED, _INTERPRET = prev_f, prev_i
 
 
+# Platforms the Mosaic kernels lower on.  Deliberately an allowlist: a GPU
+# backend would pass a blanket "not cpu" test and then fail to compile the
+# TPU-only pltpu primitives — jnp is the portable fallback everywhere else.
+# TPU PJRT plugins may register under their own platform name (e.g. the
+# tunnelled 'axon' backend in the dev environment); device_kind still says
+# TPU there, which the fallback check below catches.
+_TPU_PLATFORMS = ("tpu", "axon")
+
+
+def _is_tpu(platform: str) -> bool:
+    return platform.lower() in _TPU_PLATFORMS
+
+
 def use_pallas() -> bool:
     if _FORCED is not None:
         return _FORCED
     try:
         dev = jax.config.jax_default_device
         if dev is not None:  # an explicit default device pins the platform
-            return dev.platform not in ("cpu",)
-        return jax.default_backend() not in ("cpu",)
+            platform = getattr(dev, "platform", str(dev).split(":")[0])
+            if _is_tpu(platform):
+                return True
+            return "tpu" in getattr(dev, "device_kind", "").lower()
+        if _is_tpu(jax.default_backend()):
+            return True
+        d = jax.devices()[0]
+        return "tpu" in getattr(d, "device_kind", "").lower()
     except Exception:
         return False

@@ -333,7 +333,6 @@ def _expand_score2_call(g_fine, g_coarse, tables, bkg_channel, meta2,
                                   0.0).astype(np.float32))
         # Mh band pre-shifted for the missing leading zero column:
         # e[j] += 2K[2m + 2 - j] * scratch_col[m]
-        Mh_np = np.zeros((_CBO // 2 + 2, _CBO), np.float32)
         mm = np.arange(_CBO // 2 + 2)[:, None]
         jm = np.arange(_CBO)[None, :]
         km = 2 * mm + 2 - jm

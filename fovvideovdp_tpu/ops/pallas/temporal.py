@@ -65,7 +65,8 @@ def _temporal_call(padded_t, padded_r, taps, interpret=False):
     Wp = ceildiv(W, 128) * 128
     # row-tile size bounded by the VMEM budget across in+out blocks
     bytes_per_row = (2 * n_in + 4 * n_out) * Wp * 4
-    TR = max(8, min(256, (_VMEM_BUDGET // max(bytes_per_row, 1)) // 8 * 8))
+    TR = max(8, min(256, ceildiv(H, 8) * 8,  # never exceed the frame
+                    (_VMEM_BUDGET // max(bytes_per_row, 1)) // 8 * 8))
     n_tiles = ceildiv(H, TR)
     Hp = n_tiles * TR
     if Hp != H or Wp != W:
@@ -131,7 +132,8 @@ def _temporal_call_pair(carry_t, new_t, carry_r, new_r, taps,
 
     Wp = ceildiv(W, 128) * 128
     bytes_per_row = (2 * n_in + 4 * n_out) * Wp * 4
-    TR = max(8, min(256, (_VMEM_BUDGET // max(bytes_per_row, 1)) // 8 * 8))
+    TR = max(8, min(256, ceildiv(H, 8) * 8,  # never exceed the frame
+                    (_VMEM_BUDGET // max(bytes_per_row, 1)) // 8 * 8))
     n_tiles = ceildiv(H, TR)
     Hp = n_tiles * TR
     if Hp != H or Wp != W:
