@@ -55,6 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fovvideovdp_tpu.ops.pyramid import (K5, ceildiv, _expand_contrast_jnp)
 from fovvideovdp_tpu.ops.pallas.expand import _banded_expand
+from fovvideovdp_tpu.ops.pallas import score_math
 from fovvideovdp_tpu.ops.pallas.band_score import _band_score2_jnp
 from fovvideovdp_tpu.ops.pallas.mxu import dot3 as _dot3
 
@@ -203,29 +204,15 @@ def _expand_score_kernel(Bv_ref, Mh_ref, tabs_ref, coarse_hbm, fine_ref,
         cap = 1000.0 * lbkg
         con = [jnp.minimum(fine[ch] - es[ch], cap) for ch in range(_C)]
 
-        # piecewise-linear table lookup in telescoped delta form:
-        #   s(u) = t[0] + sum_i (t[i+1]-t[i]) * clip(u - i, 0, 1)
-        # — one clip shared by both channels per knot vs the hat form's
-        # sub/abs/rsub/max, and n-1 knots instead of n taps
+        # piecewise-linear LUT lookup in telescoped delta form (shared
+        # score_math; shared_delta folds the omega=5 modulation into one
+        # scalar offset)
         lYmin = float(np.log2(Ymin))
         lYmax = float(np.log2(Ymax))
         u = (jnp.clip(ll, lYmin, lYmax) - y0) / dy
         u = jnp.clip(u, 0.0, float(n_grid - 1))
-        s_s = jnp.zeros_like(u) + tabs_ref[0, 0]
-        s_t = jnp.zeros_like(u) + tabs_ref[1, 0]
-        if shared_delta:
-            # transient log2-S == sustained + const (the omega=5 temporal
-            # modulation factors out of the Daly CSF): one interpolation,
-            # one scalar offset — halves the per-knot FMA count
-            for i in range(n_grid - 1):
-                c = jnp.clip(u - float(i), 0.0, 1.0)
-                s_s = s_s + (tabs_ref[0, i + 1] - tabs_ref[0, i]) * c
-            s_t = s_s + (tabs_ref[1, 0] - tabs_ref[0, 0])
-        else:
-            for i in range(n_grid - 1):
-                c = jnp.clip(u - float(i), 0.0, 1.0)
-                s_s = s_s + (tabs_ref[0, i + 1] - tabs_ref[0, i]) * c
-                s_t = s_t + (tabs_ref[1, i + 1] - tabs_ref[1, i]) * c
+        s_s, s_t = score_math.table_interp_delta(
+            (tabs_ref[0], tabs_ref[1]), u, n_grid, shared_delta=shared_delta)
 
         # padded row/col fringe must not contribute to the norm; when the
         # tile grid matches the level exactly (divisor TRO, aligned W) there
@@ -240,25 +227,15 @@ def _expand_score_kernel(Bv_ref, Mh_ref, tabs_ref, coarse_hbm, fine_ref,
             valid = col_g < W
         else:
             valid = None
-        # masking evaluated in log2 space: the table already holds
-        # log2-sensitivity, so S is never exponentiated —
-        #   log2 D = p*(log2|T-R| + ls) - log2(1 + 2^(q*(log2 min + ls + lc10)))
-        #   D^beta = 2^(beta * min(log2 D, log2 1e4))
-        # — 5 transcendentals per channel pair vs 7 plus a divide for the
-        # direct form (log2(0) = -inf flows through to an exact 0, matching
-        # pow's D(0,0) = 0).  Same math: pyfvvdp/fvvdp.py:574-596.
+        # log2-space masking (shared score_math.d_beta_log2)
         lcorr = float(np.log2(corr))
         lc10 = float(np.log2(c10))
-        l4 = float(np.log2(1e4))
         for T, R, s_log, q, is_t in ((con[0], con[1], s_s, q_s, False),
                                      (con[2], con[3], s_t, q_t, True)):
             # T/R are un-normalised (see above): dividing by L_bkg is the
             # subtraction of ll here
-            ls = s_log + lcorr - ll
-            la = jnp.log2(jnp.abs(T - R)) + ls
-            lm = jnp.log2(jnp.minimum(jnp.abs(T), jnp.abs(R))) + (ls + lc10)
-            ld = p * la - jnp.log2(1.0 + jnp.exp2(q * lm))
-            D_b = jnp.exp2(beta * jnp.minimum(ld, l4))
+            D_b = score_math.d_beta_log2(T, R, s_log + lcorr - ll,
+                                         p, q, lc10, beta)
             if valid is not None:
                 D_b = jnp.where(valid, D_b, 0.0)
             part = jnp.sum(D_b)

@@ -31,6 +31,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from fovvideovdp_tpu.ops.pallas import score_math
 from fovvideovdp_tpu.ops.pyramid import ceildiv
 
 _TR = 32  # rows per program (3 input blocks + temporaries must fit VMEM)
@@ -44,22 +45,14 @@ def _band_score_kernel(t32_ref, T_ref, R_ref, L_ref, out_ref,
     R = R_ref[0]
     L = L_ref[0]
 
-    # delta-form table lookup + log2-space masking — see
-    # band_pipeline._expand_score_kernel for the derivation
+    # delta-form table lookup + log2-space masking (shared score_math)
     u = (jnp.log2(jnp.clip(L, Ymin, Ymax)) - y0) / dy
     u = jnp.clip(u, 0.0, float(n_grid - 1))
-    s_log = jnp.zeros_like(u) + t32_ref[0, 0]
-    for i in range(n_grid - 1):
-        c = jnp.clip(u - float(i), 0.0, 1.0)
-        s_log = s_log + (t32_ref[0, i + 1] - t32_ref[0, i]) * c
+    (s_log,) = score_math.table_interp_delta((t32_ref[0],), u, n_grid)
 
-    ls = s_log + float(np.log2(corr))
-    la = jnp.log2(jnp.abs(T - R)) + ls
-    lm = jnp.log2(jnp.minimum(jnp.abs(T), jnp.abs(R))) \
-        + (ls + float(np.log2(c10)))
-    ld = p * la - jnp.log2(1.0 + jnp.exp2(q * lm))
-    out_ref[f, rt] = jnp.sum(
-        jnp.exp2(beta * jnp.minimum(ld, float(np.log2(1e4)))))
+    D_b = score_math.d_beta_log2(T, R, s_log + float(np.log2(corr)),
+                                 p, q, float(np.log2(c10)), beta)
+    out_ref[f, rt] = jnp.sum(D_b)
 
 
 def supports(h: int, w: int) -> bool:
@@ -77,29 +70,19 @@ def _band_score2_kernel(tabs_ref, Ts_ref, Rs_ref, Tt_ref, Rt_ref, L_ref,
     rt = pl.program_id(1)
     L = L_ref[0]
 
-    # delta-form table lookup + log2-space masking — see
-    # band_pipeline._expand_score_kernel for the derivation
+    # delta-form table lookup + log2-space masking (shared score_math)
     u = (jnp.log2(jnp.clip(L, Ymin, Ymax)) - y0) / dy
     u = jnp.clip(u, 0.0, float(n_grid - 1))
-    s_s = jnp.zeros_like(u) + tabs_ref[0, 0]
-    s_t = jnp.zeros_like(u) + tabs_ref[1, 0]
-    for i in range(n_grid - 1):
-        cw = jnp.clip(u - float(i), 0.0, 1.0)
-        s_s = s_s + (tabs_ref[0, i + 1] - tabs_ref[0, i]) * cw
-        s_t = s_t + (tabs_ref[1, i + 1] - tabs_ref[1, i]) * cw
+    s_s, s_t = score_math.table_interp_delta(
+        (tabs_ref[0], tabs_ref[1]), u, n_grid)
 
     lcorr = float(np.log2(corr))
     lc10 = float(np.log2(c10))
-    l4 = float(np.log2(1e4))
     for c, (T_ref, R_ref, s_log, q) in enumerate(
             ((Ts_ref, Rs_ref, s_s, q_s), (Tt_ref, Rt_ref, s_t, q_t))):
-        T = T_ref[0]
-        R = R_ref[0]
-        ls = s_log + lcorr
-        la = jnp.log2(jnp.abs(T - R)) + ls
-        lm = jnp.log2(jnp.minimum(jnp.abs(T), jnp.abs(R))) + (ls + lc10)
-        ld = p * la - jnp.log2(1.0 + jnp.exp2(q * lm))
-        out_ref[f, rt, c] = jnp.sum(jnp.exp2(beta * jnp.minimum(ld, l4)))
+        D_b = score_math.d_beta_log2(T_ref[0], R_ref[0], s_log + lcorr,
+                                     p, q, lc10, beta)
+        out_ref[f, rt, c] = jnp.sum(D_b)
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -57,6 +57,33 @@ def _rows_copy(TR: int) -> int:
     return ceildiv(2 * TR + 3, 8) * 8
 
 
+def _horizontal_pass(acc, Mh_ref, TR, H, W, Wo, Wo_pad):
+    """Horizontal 5-tap stride-2 via banded matmuls, with the boundary-column
+    corrections (reference semantics incl. the row-parity quirk — the H-odd
+    branch compiles out for even heights).  Shared by the padded and no-pad
+    reduce kernels so an edge-rule change cannot desynchronise them."""
+    Wp = acc.shape[1]
+    pad_r = 2 * Wo_pad + 4 - 2 - Wp
+    ya = jnp.concatenate(
+        [jnp.zeros((TR, 2), acc.dtype), acc, jnp.zeros((TR, pad_r), acc.dtype)],
+        axis=1)                                              # (TR, 2*Wo_pad+4)
+    blocks = []
+    for b in range(Wo_pad // _CB):
+        ya_blk = jax.lax.slice(ya, (0, 2 * _CB * b),
+                               (TR, 2 * _CB * b + 2 * _CB + 4))
+        blocks.append(_dot3(ya_blk, Mh_ref[:, :]))
+    out = jnp.concatenate(blocks, axis=1)                    # (TR, Wo_pad)
+
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (TR, Wo_pad), 1)
+    first = acc[:, 0] * K5[1] + acc[:, 1] * K5[0]
+    out = jnp.where(col_idx == 0, out + first[:, None], out)
+    if H % 2 == 1:
+        last = acc[:, W - 1] * K5[3] + acc[:, W - 2] * K5[4]
+    else:
+        last = acc[:, W - 1] * K5[4]
+    return jnp.where(col_idx == Wo - 1, out + last[:, None], out)
+
+
 def _reduce_kernel(Av_ref, Mh_ref, xp_hbm, out_ref, scratch, sem,
                    *, H, W, TR, Wo, Wo_pad):
     """Grid (N, n_tiles); out block (1, TR, Wo_pad)."""
@@ -76,31 +103,7 @@ def _reduce_kernel(Av_ref, Mh_ref, xp_hbm, out_ref, scratch, sem,
     # relative error, far above the metric's parity tolerance)
     acc = _dot3(Av_ref[:, :], scratch[:, :])                 # (TR, Wp)
 
-    # horizontal 5-tap stride-2 with zero padding:
-    # ya[2 + j] = acc[j];  out[c] = sum_k K[k] * ya[2c + k]
-    Wp = scratch.shape[1]
-    pad_r = 2 * Wo_pad + 4 - 2 - Wp
-    ya = jnp.concatenate(
-        [jnp.zeros((TR, 2), acc.dtype), acc, jnp.zeros((TR, pad_r), acc.dtype)],
-        axis=1)                                              # (TR, 2*Wo_pad+4)
-    blocks = []
-    for b in range(Wo_pad // _CB):
-        ya_blk = jax.lax.slice(ya, (0, 2 * _CB * b),
-                               (TR, 2 * _CB * b + 2 * _CB + 4))
-        blocks.append(_dot3(ya_blk, Mh_ref[:, :]))
-    out = jnp.concatenate(blocks, axis=1)                    # (TR, Wo_pad)
-
-    # boundary-column corrections (reference semantics incl. row-parity quirk)
-    col_idx = jax.lax.broadcasted_iota(jnp.int32, (TR, Wo_pad), 1)
-    first = acc[:, 0] * K5[1] + acc[:, 1] * K5[0]
-    out = jnp.where(col_idx == 0, out + first[:, None], out)
-    if H % 2 == 1:
-        last = acc[:, W - 1] * K5[3] + acc[:, W - 2] * K5[4]
-    else:
-        last = acc[:, W - 1] * K5[4]
-    out = jnp.where(col_idx == Wo - 1, out + last[:, None], out)
-
-    out_ref[0, :, :] = out
+    out_ref[0, :, :] = _horizontal_pass(acc, Mh_ref, TR, H, W, Wo, Wo_pad)
 
 
 def supports(H: int, W: int) -> bool:
@@ -226,28 +229,7 @@ def _reduce_kernel_nopad(Av_ref, Mh_ref, x_hbm, out_ref, scratch, sem,
 
     acc = _dot3(Av_ref[0], tile)                             # (TR, Wp)
 
-    Wp = tile.shape[1]
-    pad_r = 2 * Wo_pad + 4 - 2 - Wp
-    ya = jnp.concatenate(
-        [jnp.zeros((TR, 2), acc.dtype), acc, jnp.zeros((TR, pad_r), acc.dtype)],
-        axis=1)                                              # (TR, 2*Wo_pad+4)
-    blocks = []
-    for b in range(Wo_pad // _CB):
-        ya_blk = jax.lax.slice(ya, (0, 2 * _CB * b),
-                               (TR, 2 * _CB * b + 2 * _CB + 4))
-        blocks.append(_dot3(ya_blk, Mh_ref[:, :]))
-    out = jnp.concatenate(blocks, axis=1)                    # (TR, Wo_pad)
-
-    col_idx = jax.lax.broadcasted_iota(jnp.int32, (TR, Wo_pad), 1)
-    first = acc[:, 0] * K5[1] + acc[:, 1] * K5[0]
-    out = jnp.where(col_idx == 0, out + first[:, None], out)
-    if H % 2 == 1:
-        last = acc[:, W - 1] * K5[3] + acc[:, W - 2] * K5[4]
-    else:
-        last = acc[:, W - 1] * K5[4]
-    out = jnp.where(col_idx == Wo - 1, out + last[:, None], out)
-
-    out_ref[0, :, :] = out
+    out_ref[0, :, :] = _horizontal_pass(acc, Mh_ref, TR, H, W, Wo, Wo_pad)
 
 
 def _nopad_geometry(H: int, W: int):

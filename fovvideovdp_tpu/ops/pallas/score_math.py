@@ -1,0 +1,59 @@
+"""Shared per-pixel scoring math for the band kernels.
+
+Three kernels (band_pipeline._expand_score_kernel, band_score's one- and
+two-channel variants) evaluate the same two stages on VMEM-resident values;
+keeping the math here means a calibration or numerics change lands in every
+kernel at once.  Everything is trace-time function composition — the jaxpr
+(and therefore the Mosaic lowering) is identical to the previously inlined
+forms.
+"""
+import jax.numpy as jnp
+import numpy as np
+
+# masking clamp: reference clips D at 1e4 (pyfvvdp/fvvdp.py:595)
+L4 = float(np.log2(1e4))
+
+
+def table_interp_delta(rows, u, n_grid, shared_delta=False):
+    """Piecewise-linear LUT lookup in telescoped delta form:
+
+        s(u) = t[0] + sum_i (t[i+1] - t[i]) * clip(u - i, 0, 1)
+
+    ``rows`` is a sequence of indexable table rows (one per channel); the
+    per-knot clip is computed ONCE and shared by all rows — n-1 knots
+    instead of n taps, and one clip per knot vs the hat form's
+    sub/abs/rsub/max.  With ``shared_delta`` the second row is the first
+    plus a scalar offset (the omega=5 temporal modulation factors out of
+    the Daly CSF), halving the per-knot FMA count.
+    """
+    outs = [jnp.zeros_like(u) + r[0] for r in rows]
+    active = outs[:1] if shared_delta else outs
+    rows_a = rows[:1] if shared_delta else rows
+    for i in range(n_grid - 1):
+        c = jnp.clip(u - float(i), 0.0, 1.0)
+        for k, r in enumerate(rows_a):
+            active[k] = active[k] + (r[i + 1] - r[i]) * c
+    if shared_delta:
+        return [active[0]] + [active[0] + (r[0] - rows[0][0])
+                              for r in rows[1:]]
+    return active
+
+
+def d_beta_log2(T, R, ls, p, q, lc10, beta):
+    """Masked-difference term D^beta, evaluated in log2 space.
+
+    The table holds log2-sensitivity, so S is never exponentiated:
+
+        log2 D = p*(log2|T-R| + ls) - log2(1 + 2^(q*(log2 min(|T|,|R|) + ls + lc10)))
+        D^beta = 2^(beta * min(log2 D, log2 1e4))
+
+    — 5 transcendentals per channel pair vs 7 plus a divide for the direct
+    form (log2(0) = -inf flows through to an exact 0, matching pow's
+    D(0,0) = 0).  Same math as the reference: pyfvvdp/fvvdp.py:574-596.
+    ``ls`` is the per-pixel log2 of the normalisation (sensitivity +
+    correction, minus log2 L_bkg when contrast is un-normalised).
+    """
+    la = jnp.log2(jnp.abs(T - R)) + ls
+    lm = jnp.log2(jnp.minimum(jnp.abs(T), jnp.abs(R))) + (ls + lc10)
+    ld = p * la - jnp.log2(1.0 + jnp.exp2(q * lm))
+    return jnp.exp2(beta * jnp.minimum(ld, L4))

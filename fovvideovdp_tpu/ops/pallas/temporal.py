@@ -37,7 +37,9 @@ _VMEM_BUDGET = 8 << 20  # input+output tile bytes per program
 _VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 << 20)
 
 
-def _temporal_kernel(t_ref, r_ref, out_ref, *, taps, n_out):
+def _accumulate_taps(read_pair, out_ref, *, taps, n_out):
+    """Shared tap-accumulation loop: frame indices are unrolled Python ints,
+    so ``read_pair(src)`` reads each tap from a statically-known ref."""
     fl = len(taps[0])
     for f in range(n_out):
         for c in range(2):
@@ -47,13 +49,16 @@ def _temporal_kernel(t_ref, r_ref, out_ref, *, taps, n_out):
                 w = taps[c][j]
                 if w == 0.0:
                     continue
-                src = f + fl - 1 - j
-                tt = w * t_ref[src]
-                rr = w * r_ref[src]
-                acc_t = tt if acc_t is None else acc_t + tt
-                acc_r = rr if acc_r is None else acc_r + rr
+                tt, rr = read_pair(f + fl - 1 - j)
+                acc_t = w * tt if acc_t is None else acc_t + w * tt
+                acc_r = w * rr if acc_r is None else acc_r + w * rr
             out_ref[f, 2 * c] = acc_t
             out_ref[f, 2 * c + 1] = acc_r
+
+
+def _temporal_kernel(t_ref, r_ref, out_ref, *, taps, n_out):
+    _accumulate_taps(lambda src: (t_ref[src], r_ref[src]), out_ref,
+                     taps=taps, n_out=n_out)
 
 
 @functools.partial(jax.jit, static_argnames=("taps", "interpret"))
@@ -99,26 +104,12 @@ def _temporal_kernel_pair(ct_ref, nt_ref, cr_ref, nr_ref, out_ref,
     streaming step no longer materialises their 2x~460 MB concatenation in
     HBM.  Frame indices are unrolled Python ints, so each tap reads from a
     statically-known ref."""
-    fl = len(taps[0])
-    for f in range(n_out):
-        for c in range(2):
-            acc_t = None
-            acc_r = None
-            for j in range(fl):
-                w = taps[c][j]
-                if w == 0.0:
-                    continue
-                src = f + fl - 1 - j
-                if src < ncarry:
-                    tt = w * ct_ref[src]
-                    rr = w * cr_ref[src]
-                else:
-                    tt = w * nt_ref[src - ncarry]
-                    rr = w * nr_ref[src - ncarry]
-                acc_t = tt if acc_t is None else acc_t + tt
-                acc_r = rr if acc_r is None else acc_r + rr
-            out_ref[f, 2 * c] = acc_t
-            out_ref[f, 2 * c + 1] = acc_r
+    def read_pair(src):
+        if src < ncarry:
+            return ct_ref[src], cr_ref[src]
+        return nt_ref[src - ncarry], nr_ref[src - ncarry]
+
+    _accumulate_taps(read_pair, out_ref, taps=taps, n_out=n_out)
 
 
 @functools.partial(jax.jit, static_argnames=("taps", "interpret"))
