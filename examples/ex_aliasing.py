@@ -1,7 +1,8 @@
-"""Score video files directly (ffmpeg decode path): the ferris-wheel
+"""Score video files directly (file decode path): the ferris-wheel
 aliasing clips (mirrors pytorch_examples/ex_aliasing.py).
 
-Requires the ffmpeg/ffprobe binaries on PATH and the reference example media
+Decodes through ffmpeg/ffprobe when the binaries are on PATH, otherwise
+through OpenCV's bundled FFMPEG.  Needs the reference example media
 (``example_media/aliasing/ferris-*.mp4``).  Expected JODs on standard_fhd
 (reference README.md:108-111):
 
@@ -25,9 +26,12 @@ MEDIA = os.environ.get(
 
 def main():
     if shutil.which("ffmpeg") is None or shutil.which("ffprobe") is None:
-        print("ffmpeg/ffprobe not found on PATH — this example needs them "
-              "to decode .mp4 files.", file=sys.stderr)
-        return 1
+        try:
+            import cv2  # noqa: F401
+        except ImportError:
+            print("Neither ffmpeg/ffprobe on PATH nor opencv-python "
+                  "installed — cannot decode .mp4 files.", file=sys.stderr)
+            return 1
     folder = os.path.join(MEDIA, "aliasing")
     ref_file = os.path.join(folder, "ferris-ref.mp4")
     tst_files = sorted(glob.glob(os.path.join(folder, "ferris-*-*.mp4")))

@@ -5,7 +5,9 @@
   either decoding straight to RGB (ffmpeg does colour conversion,
   ``ffmpeg_cc=True``) or piping raw YUV planes that are upsampled and
   colour-converted on device (default — mirrors the reference's faster GPU
-  path, pyfvvdp/video_source_file.py:163-276).
+  path, pyfvvdp/video_source_file.py:163-276).  When the ffmpeg/ffprobe
+  binaries are absent, decoding falls back to OpenCV's bundled FFMPEG
+  (8-bit; the reference hard-requires the binaries).
 * ``.yuv`` raw files          -> memory-mapped reader (video_source_yuv).
 
 The ffmpeg subprocess is the host-side decode stage of the pipeline: it
@@ -228,6 +230,110 @@ class video_reader:
         self.close()
 
 
+class cv2_video_reader:
+    """Decode a video through OpenCV's bundled FFMPEG — no external binaries.
+
+    Fallback used when the ``ffmpeg``/``ffprobe`` executables are not on
+    PATH (the reference hard-requires them, pyfvvdp/video_source_file.py:100).
+    OpenCV converts every stream to 8-bit BGR on decode, so this path is
+    8-bit only, and its chroma upsampling / YCbCr matrix choice can differ
+    from the piped-ffmpeg paths by a fraction of a code value — expect JOD
+    drift of ~0.01 vs those paths, well inside the reference's own
+    MATLAB<->Python tolerance.  Interface mirrors :class:`video_reader`.
+    """
+
+    def __init__(self, vidfile, frames=-1, resize_fn=None, resize_height=-1,
+                 resize_width=-1, verbose=False):
+        try:
+            import cv2
+        except ImportError as e:
+            raise RuntimeError(
+                "Decoding video files needs either the ffmpeg binary on PATH "
+                "or the opencv-python package; neither is available.") from e
+        self._cap = cv2.VideoCapture(vidfile)
+        if not self._cap.isOpened():
+            raise RuntimeError(f'OpenCV failed to open file "{vidfile}"')
+        self.src_width = self.width = \
+            int(self._cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        self.src_height = self.height = \
+            int(self._cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        # OpenCV exposes no colour metadata; sources treat unknown as sRGB
+        self.color_space = "unknown"
+        self.color_transfer = "unknown"
+        self.in_pix_fmt = "unknown"
+        self.dtype = np.uint8
+        self.avg_fps = float(self._cap.get(cv2.CAP_PROP_FPS))
+        if self.avg_fps <= 0:
+            raise RuntimeError(
+                f'Cannot determine the frame rate of "{vidfile}"')
+        num_frames = int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        if num_frames <= 0:
+            if frames == -1:
+                raise RuntimeError(
+                    f'Cannot determine the frame count of "{vidfile}"; '
+                    f"pass frames=N explicitly.")
+            num_frames = frames
+        self.frames = num_frames if frames == -1 else min(num_frames, frames)
+
+        if resize_fn is not None and (resize_width != self.width
+                                      or resize_height != self.height):
+            # resize on device in unpack_block, like the YUV-device path
+            self.resize_fn = resize_fn
+            self.resize_height = resize_height
+            self.resize_width = resize_width
+        self.curr_frame = -1
+
+    def get_frame(self) -> Optional[np.ndarray]:
+        block = self.get_frames_block(1)
+        return None if block is None else block[0]
+
+    def get_frames_block(self, count: int) -> Optional[np.ndarray]:
+        """Read up to ``count`` frames; (n, H*W*3) uint8 RGB rows (None at
+        EOF), matching :meth:`video_reader.get_frames_block`."""
+        want = min(count, self.frames - 1 - self.curr_frame)
+        if want <= 0:
+            return None
+        rows = []
+        for _ in range(want):
+            ok, bgr = self._cap.read()
+            if not ok:
+                break
+            rows.append(np.ascontiguousarray(bgr[:, :, ::-1]).reshape(-1))
+        if not rows:
+            return None
+        self.curr_frame += len(rows)
+        return np.stack(rows)
+
+    def unpack(self, frame_np: np.ndarray) -> jnp.ndarray:
+        return self.unpack_block(frame_np.reshape(1, -1))[0]
+
+    def unpack_block(self, frames_np: np.ndarray) -> jnp.ndarray:
+        """(n, H*W*3) uint8 RGB -> (n, H, W, 3) in [0,1] on device (one
+        transfer per block), with the optional full-screen resize."""
+        n = frames_np.shape[0]
+        x = jnp.asarray(frames_np.reshape(n, self.height, self.width, 3))
+        RGB = x.astype(jnp.float32) / 255.0
+        if getattr(self, "resize_fn", None) is not None:
+            RGB = jnp.clip(jax.image.resize(
+                RGB, (n, self.resize_height, self.resize_width, 3),
+                method=RESIZE_METHODS[self.resize_fn]), 0.0, 1.0)
+        return RGB
+
+    def close(self):
+        cap, self._cap = getattr(self, "_cap", None), None
+        if cap is not None:
+            cap.release()
+
+    def __del__(self):
+        self.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, type, value, tb):
+        self.close()
+
+
 class video_reader_yuv_device(video_reader):
     """Pipe raw YUV planes; chroma upsampling + YCbCr->RGB run on device.
 
@@ -319,7 +425,13 @@ class fvvdp_video_source_video_file(fvvdp_video_source_dm):
                  resize_resolution=None, ffmpeg_cc=False, verbose=False):
         fs_width = -1 if full_screen_resize is None else resize_resolution[0]
         fs_height = -1 if full_screen_resize is None else resize_resolution[1]
-        reader = video_reader if ffmpeg_cc else video_reader_yuv_device
+        if shutil.which("ffmpeg") is None or shutil.which("ffprobe") is None:
+            # no external binaries: decode through OpenCV's bundled FFMPEG
+            logging.info("ffmpeg/ffprobe not found on PATH; decoding video "
+                         "files through OpenCV (8-bit)")
+            reader = cv2_video_reader
+        else:
+            reader = video_reader if ffmpeg_cc else video_reader_yuv_device
         self.reference_vidr = reader(reference_fname, frames,
                                      resize_fn=full_screen_resize,
                                      resize_width=fs_width, resize_height=fs_height,

@@ -1,0 +1,115 @@
+"""OpenCV-fallback video file decoding (no ffmpeg binaries required).
+
+The reference hard-requires the ffmpeg/ffprobe executables for video files
+(pyfvvdp/video_source_file.py:100); here `fvvdp_video_source_file` falls
+back to OpenCV's bundled FFMPEG when they are absent, which also lets the
+published ferris-wheel aliasing goldens (reference README.md:103-111) be
+validated end-to-end in this environment.
+"""
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+MEDIA = os.environ.get(
+    "FVVDP_MEDIA", "/root/reference/example_media")
+ALIASING = os.path.join(MEDIA, "aliasing")
+REF = os.path.join(ALIASING, "ferris-ref.mp4")
+TST = os.path.join(ALIASING, "ferris-bicubic-bicubic.mp4")
+
+needs_media = pytest.mark.skipif(
+    not os.path.isfile(REF), reason="reference example media not present")
+
+
+@needs_media
+def test_cv2_reader_props_and_eof():
+    from fovvideovdp_tpu.video_source_file import cv2_video_reader
+    with cv2_video_reader(REF, frames=5) as r:
+        assert (r.width, r.height) == (1280, 720)
+        assert r.avg_fps == pytest.approx(25.0)
+        assert r.frames == 5
+        b = r.get_frames_block(3)
+        assert b.shape == (3, 1280 * 720 * 3) and b.dtype == np.uint8
+        # the frame cap truncates the stream, then EOF is sticky
+        b2 = r.get_frames_block(10)
+        assert b2.shape[0] == 2
+        assert r.get_frames_block(1) is None
+        assert r.get_frame() is None
+
+
+def _grab(path, n):
+    cap = cv2.VideoCapture(path)
+    frames = []
+    for _ in range(n):
+        ok, bgr = cap.read()
+        assert ok
+        frames.append(bgr[:, :, ::-1])
+    cap.release()
+    return np.stack(frames)  # (n, H, W, 3) uint8 RGB
+
+
+@needs_media
+def test_cv2_file_source_matches_array_path():
+    """Scoring through the file source == scoring the same decoded frames
+    through the array source (the file path adds no numerics of its own)."""
+    from fovvideovdp_tpu import fvvdp
+    from fovvideovdp_tpu.video_source_file import fvvdp_video_source_file
+
+    n = 6
+    fv = fvvdp(display_name="standard_fhd")
+    vs = fvvdp_video_source_file(TST, REF, display_photometry="standard_fhd",
+                                 frames=n)
+    assert vs.get_video_size() == (720, 1280, n)
+    assert vs.get_frames_per_second() == pytest.approx(25.0)
+    Q_file, _ = fv.predict_video_source(vs)
+
+    Q_arr, _ = fv.predict(_grab(TST, n), _grab(REF, n), dim_order="FHWC",
+                          frames_per_second=25.0)
+    assert Q_file == pytest.approx(Q_arr, abs=2e-3)
+
+
+@needs_media
+def test_cv2_source_full_screen_resize():
+    from fovvideovdp_tpu.video_source_file import fvvdp_video_source_file
+    vs = fvvdp_video_source_file(TST, REF, display_photometry="standard_fhd",
+                                 frames=3, full_screen_resize="bilinear",
+                                 resize_resolution=(640, 360))
+    assert vs.get_video_size() == (360, 640, 3)
+    t, r = vs.get_luminance_block(0, 3)
+    assert t.shape == (3, 360, 640) and r.shape == (3, 360, 640)
+    assert np.isfinite(np.asarray(t)).all()
+
+
+# ---------------------------------------------------------------------------
+# The published aliasing goldens — the reference README's pinned JODs
+# (README.md:108-111).  Full 60-frame clips; gated off the default CPU run
+# (~90 s) — runs under `pytest -m tpu` on hardware or with FVVDP_TEST_MEDIA=1.
+# Tolerance 0.05: the reference's own MATLAB<->Python agreement bound
+# (README.md:168); the OpenCV decode differs from the piped-ffmpeg decode in
+# chroma upsampling, measured drift is -0.019..-0.036 JOD on these clips.
+# ---------------------------------------------------------------------------
+_run_full = (os.environ.get("FVVDP_TEST_MEDIA") == "1"
+             or os.environ.get("FVVDP_TEST_TPU") == "1")
+
+
+@needs_media
+@pytest.mark.tpu
+@pytest.mark.slow
+@pytest.mark.skipif(not _run_full, reason="60-frame ferris scoring; set "
+                    "FVVDP_TEST_MEDIA=1 (CPU) or run `pytest -m tpu`")
+@pytest.mark.parametrize("name,published", [
+    ("ferris-bicubic-bicubic.mp4", 6.469),
+    ("ferris-bicubic-nearest.mp4", 6.328),
+    ("ferris-nearest-bicubic.mp4", 5.923),
+    ("ferris-nearest-nearest.mp4", 5.821),
+])
+def test_ferris_published_jods(name, published):
+    from fovvideovdp_tpu import fvvdp
+    from fovvideovdp_tpu.video_source_file import fvvdp_video_source_file
+    fv = fvvdp(display_name="standard_fhd")
+    vs = fvvdp_video_source_file(os.path.join(ALIASING, name), REF,
+                                 display_photometry="standard_fhd")
+    Q, _ = fv.predict_video_source(vs)
+    assert abs(Q - published) <= 0.05, (name, Q, published)
