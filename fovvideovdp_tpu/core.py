@@ -394,7 +394,10 @@ class MetricCore:
                     S = csf_mod.sensitivity_pixel_tables(
                         self.luts[cc], fov_tables[bb][cc], L_bkg)
                 elif self.foveated:
-                    S = csf_mod.sensitivity_trilinear(self.luts[cc], rho, L_bkg, ecc)
+                    # rho is frame-invariant: its LUT axis collapses once per
+                    # pixel and all F frames of the block reuse the collapse
+                    S = csf_mod.sensitivity_trilinear_block(
+                        self.luts[cc], rho, L_bkg, ecc)
                 else:
                     S = csf_mod.sensitivity_1d(self.luts[cc],
                                                self._band_tables[bb][cc], L_bkg)

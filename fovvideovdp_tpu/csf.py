@@ -345,6 +345,65 @@ def sensitivity_trilinear(lut: Dict[str, jnp.ndarray], rho, L_bkg, ecc):
     return jnp.power(2.0, s_log)
 
 
+def sensitivity_trilinear_block(lut: Dict[str, jnp.ndarray], rho_map,
+                                L_bkg, ecc):
+    """Trilinear S for a BLOCK of frames sharing a static per-pixel rho map.
+
+    Exactly :func:`sensitivity_trilinear` reassociated: spatial frequency
+    (band frequency x resolution magnification) does not depend on the gaze,
+    so its LUT axis is collapsed ONCE per pixel — ``G[p] = V @ w_rho[p]``,
+    a (n, n) S_log(Y, ecc) table — and every frame of the block reuses ``G``
+    with its own (luminance, eccentricity) bilinear.  Per pixel that is
+    n*n*n + F*(n*n + n) MACs instead of F*(n*n*n + n*n + n): ~16x fewer at
+    F=30 for the moving-gaze foveated path.
+
+    ``rho_map``: (h, w) frame-invariant; ``L_bkg``/``ecc``: (F, h, w) (ecc
+    may be (h, w), broadcast over frames).  Returns (F, h, w).
+    """
+    F = L_bkg.shape[0]
+    shape = jnp.shape(L_bkg)[1:]
+    rho = jnp.broadcast_to(jnp.asarray(rho_map, jnp.float32), shape).reshape(-1)
+    ecc = jnp.broadcast_to(jnp.asarray(ecc, jnp.float32),
+                           (F,) + shape).reshape(F, -1)
+    L = jnp.reshape(L_bkg, (F, -1))
+
+    rho_q = jnp.log2(jnp.clip(rho, lut["rho"][0], lut["rho"][-1]))
+    Y_q = jnp.log2(jnp.clip(L, lut["Y"][0], lut["Y"][-1]))
+    ecc_q = jnp.sqrt(jnp.clip(ecc, lut["ecc"][0], lut["ecc"][-1]))
+
+    V = lut["S_log"]                      # [Y, rho, ecc] = (n, n, n)
+    n = V.shape[0]
+    N = rho.shape[0]
+    chunk = min(8192, N)
+    n_chunks = -(-N // chunk)
+    pad = n_chunks * chunk - N
+    if pad:
+        rho_q = jnp.concatenate([rho_q, jnp.zeros((pad,), rho_q.dtype)])
+        Y_q = jnp.concatenate([Y_q, jnp.zeros((F, pad), Y_q.dtype)], axis=1)
+        ecc_q = jnp.concatenate([ecc_q, jnp.zeros((F, pad), ecc_q.dtype)],
+                                axis=1)
+
+    u_y = _axis_uniform(lut, "Y_log")
+    u_r = _axis_uniform(lut, "rho_log")
+    u_e = _axis_uniform(lut, "ecc_sqrt")
+
+    def one_chunk(args):
+        rq, yq, eq = args                              # (c,), (F, c), (F, c)
+        w_r = _grid_weights(rq, lut["rho_log"], u_r)   # (c, n)
+        G = jnp.einsum("pj,yje->pye", w_r, V)          # (c, n, n) once/block
+        w_y = _grid_weights(yq, lut["Y_log"], u_y)     # (F, c, n)
+        w_e = _grid_weights(eq, lut["ecc_sqrt"], u_e)  # (F, c, n)
+        B = jnp.einsum("fpy,pye->fpe", w_y, G)         # (F, c, n)
+        return jnp.sum(B * w_e, axis=-1)               # (F, c)
+
+    s_log = jax.lax.map(one_chunk,
+                        (rho_q.reshape(n_chunks, chunk),
+                         Y_q.reshape(F, n_chunks, chunk).transpose(1, 0, 2),
+                         ecc_q.reshape(F, n_chunks, chunk).transpose(1, 0, 2)))
+    s_log = s_log.transpose(1, 0, 2).reshape(F, -1)[:, :N]
+    return jnp.power(2.0, s_log).reshape((F,) + shape)
+
+
 def sensitivity(lut: Dict[str, jnp.ndarray], rho, L_bkg, ecc):
     """Interpolated sensitivity S(rho, L_bkg, ecc) from a LUT.
 
