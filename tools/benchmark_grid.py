@@ -22,9 +22,13 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--display", default="standard_4k")
     ap.add_argument("--variants", nargs="+", default=["plain"],
-                    choices=["plain", "heatmap", "foveated", "batch"],
+                    choices=["plain", "heatmap", "foveated", "foveated-moving",
+                             "batch"],
                     help="heatmap = threshold heatmap rendered+downloaded per "
-                         "block; foveated = eccentricity-dependent CSF; "
+                         "block; foveated = eccentricity-dependent CSF with a "
+                         "fixed central gaze (per-pixel-table path); "
+                         "foveated-moving = per-frame gaze trajectory "
+                         "(block-amortised trilinear path; video rows only); "
                          "batch = 8 image pairs in one SPMD program "
                          "(predict_batch; frames=1 rows only)")
     args = ap.parse_args()
@@ -40,6 +44,7 @@ def main():
         "plain": fvvdp(display_name=args.display),
         "heatmap": fvvdp(display_name=args.display, heatmap="threshold"),
         "foveated": fvvdp(display_name=args.display, foveated=True),
+        "foveated-moving": fvvdp(display_name=args.display, foveated=True),
     }
     rng = np.random.RandomState(0)
 
@@ -75,14 +80,20 @@ def main():
                     }), flush=True)
                     continue
                 fv = metrics[variant]
+                fix = None
+                if variant == "foveated-moving":
+                    if F == 1:
+                        continue  # the moving-gaze row measures video blocks
+                    fix = np.stack([np.linspace(10, W - 10, F),
+                                    np.linspace(10, H - 10, F)]).T
                 vs = fvvdp_video_source_array(
                     tst, ref, fps, dim_order="HWCF",
                     display_photometry=fv.display_photometry)
-                Q, _ = fv.predict_video_source(vs)  # warm-up/compile + upload
+                Q, _ = fv.predict_video_source(vs, fixation_point=fix)
                 best = None
                 for _ in range(args.repeats):
                     t0 = time.time()
-                    Q, _ = fv.predict_video_source(vs)
+                    Q, _ = fv.predict_video_source(vs, fixation_point=fix)
                     dt = time.time() - t0
                     best = dt if best is None else min(best, dt)
                 print(json.dumps({
