@@ -51,15 +51,35 @@ def np2img(np_srgb, imgfile):
         Image.fromarray(img8).save(imgfile)
 
 
+def _np2vid_cv2(np_srgb, vidfile, fps):
+    """Encode via OpenCV's bundled FFMPEG when the binary is absent."""
+    import cv2
+    N, H, W, _ = np_srgb.shape
+    vw = cv2.VideoWriter(vidfile, cv2.VideoWriter_fourcc(*"mp4v"),
+                         float(fps), (W, H))
+    if not vw.isOpened():
+        raise RuntimeError(f"OpenCV could not open '{vidfile}' for encoding")
+    try:
+        for fid in range(N):
+            frame8 = (np.clip(np_srgb[fid], 0.0, 1.0) * 255.0).astype(np.uint8)
+            vw.write(frame8[:, :, ::-1])  # RGB -> BGR
+    finally:
+        vw.release()
+
+
 def np2vid(np_srgb, vidfile, fps, verbose=False):
-    """Save (N,H,W,C) float sRGB in [0,1] as an H.264 video via ffmpeg."""
-    if shutil.which("ffmpeg") is None:
-        raise RuntimeError(
-            "ffmpeg binary not found — cannot write video heatmaps. "
-            "Install ffmpeg or use --heatmap with image inputs.")
+    """Save (N,H,W,C) float sRGB in [0,1] as a video: H.264 via the ffmpeg
+    binary, or OpenCV's encoder when the binary is absent."""
     N, H, W, C = np_srgb.shape
     if C == 1:
         np_srgb = np.concatenate([np_srgb] * 3, -1)
+    if shutil.which("ffmpeg") is None:
+        try:
+            return _np2vid_cv2(np_srgb, vidfile, fps)
+        except ImportError:
+            raise RuntimeError(
+                "Writing video heatmaps needs the ffmpeg binary or the "
+                "opencv-python package; neither is available.")
     cmd = ["ffmpeg", "-y", "-hide_banner", "-loglevel",
            "info" if verbose else "quiet",
            "-f", "rawvideo", "-pix_fmt", "rgb24", "-s", f"{W}x{H}",
