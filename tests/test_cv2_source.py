@@ -113,3 +113,24 @@ def test_ferris_published_jods(name, published):
                                  display_photometry="standard_fhd")
     Q, _ = fv.predict_video_source(vs)
     assert abs(Q - published) <= 0.05, (name, Q, published)
+
+
+def test_np2vid_cv2_roundtrip(tmp_path, monkeypatch):
+    """Video heatmap write-out works without the ffmpeg binary (OpenCV
+    encoder) and the file decodes back with the right geometry."""
+    import shutil as _shutil
+
+    from fovvideovdp_tpu import run_fvvdp
+    monkeypatch.setattr(_shutil, "which", lambda name: None)
+    rng = np.random.RandomState(0)
+    vid = rng.rand(6, 64, 96, 3).astype(np.float32)
+    out = str(tmp_path / "heat.mp4")
+    run_fvvdp.np2vid(vid, out, fps=30)
+    cap = cv2.VideoCapture(out)
+    assert cap.isOpened()
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 6
+    assert int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) == 96
+    assert int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)) == 64
+    ok, frame = cap.read()
+    assert ok and frame.shape == (64, 96, 3)
+    cap.release()
