@@ -27,13 +27,25 @@ def _torch():
 
 
 def _to_jax(t):
-    """torch tensor -> jax array (DLPack when possible, host copy otherwise)."""
+    """torch tensor -> jax array on JAX's default device.
+
+    DLPack import when possible, host copy otherwise.  The import COMMITS
+    the array to the producer's device (a CPU torch tensor yields a
+    committed CPU jax array, which would pin the whole jitted metric to the
+    CPU backend on a TPU host), so the result is re-placed on the default
+    device when the platforms differ — that transfer is needed anyway."""
+    import jax
     import jax.numpy as jnp
     t = t.detach().contiguous().float()
     try:
-        return jnp.from_dlpack(t)
+        a = jnp.from_dlpack(t)
     except Exception:
-        return jnp.asarray(t.cpu().numpy())
+        a = jnp.asarray(t.cpu().numpy())
+    default = getattr(jax.config.jax_default_device, "platform", None) \
+        or jax.devices()[0].platform
+    if next(iter(a.devices())).platform != default:
+        a = jax.device_put(a)
+    return a
 
 
 def _to_torch(x, like):
@@ -55,13 +67,15 @@ class _Bridge:
         self.grad_ref = grad_ref
 
         def loss(test, ref):
-            return 10.0 - fv.predict_traced(
-                test, ref, dim_order=dim_order,
-                frames_per_second=frames_per_second,
-                fixation_point=fixation_point)
+            return fv.loss(test, ref, dim_order=dim_order,
+                           frames_per_second=frames_per_second,
+                           fixation_point=fixation_point)
 
         argnums = (0, 1) if grad_ref else 0
         self.value_and_grad = jax.jit(jax.value_and_grad(loss, argnums=argnums))
+        # value-only program for eval calls (no_grad / non-leaf inputs):
+        # skips the whole backward pass and the gradient transfers
+        self.value = jax.jit(loss)
 
 
 def fvvdp_torch_loss(fv, dim_order="BCFHW", frames_per_second=0,
@@ -89,8 +103,7 @@ def fvvdp_torch_loss(fv, dim_order="BCFHW", frames_per_second=0,
     class _LossFn(torch.autograd.Function):
         @staticmethod
         def forward(ctx, test, ref):
-            out = bridge.value_and_grad(_to_jax(test), _to_jax(ref))
-            val, grads = out
+            val, grads = bridge.value_and_grad(_to_jax(test), _to_jax(ref))
             if bridge.grad_ref:
                 g_test, g_ref = grads
                 ctx.save_for_backward(_to_torch(g_test, test),
@@ -108,6 +121,15 @@ def fvvdp_torch_loss(fv, dim_order="BCFHW", frames_per_second=0,
             return g_test, g_ref
 
     def loss_fn(test, ref):
-        return _LossFn.apply(test, ref)
+        # dispatch OUTSIDE the Function: grad-mode is always disabled inside
+        # autograd.Function.forward, so the check cannot live there
+        needs_grad = torch.is_grad_enabled() and (
+            test.requires_grad or (bridge.grad_ref and ref.requires_grad))
+        if needs_grad:
+            return _LossFn.apply(test, ref)
+        # eval path: value only — skips the backward pass + grad transfers
+        val = bridge.value(_to_jax(test), _to_jax(ref))
+        return torch.as_tensor(float(val), dtype=test.dtype,
+                               device=test.device)
 
     return loss_fn

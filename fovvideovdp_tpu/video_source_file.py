@@ -282,6 +282,14 @@ class cv2_video_reader:
             self.resize_height = resize_height
             self.resize_width = resize_width
         self.curr_frame = -1
+        self._last_row = None
+        self._eof_pad_left = self._EOF_PAD_MAX
+
+    # CAP_PROP_FRAME_COUNT is an estimate (duration x fps for containers
+    # without an index) and can over-report; tolerate a few phantom tail
+    # frames by repeating the last decoded frame — the same hardening the
+    # ffmpeg path has for duration-derived counts (_stream_frame_count).
+    _EOF_PAD_MAX = 4
 
     def get_frame(self) -> Optional[np.ndarray]:
         block = self.get_frames_block(1)
@@ -294,13 +302,24 @@ class cv2_video_reader:
         if want <= 0:
             return None
         rows = []
-        for _ in range(want):
+        while len(rows) < want:
             ok, bgr = self._cap.read()
             if not ok:
+                last = rows[-1] if rows else self._last_row
+                missing = self.frames - 1 - self.curr_frame - len(rows)
+                if last is None or missing > self._eof_pad_left:
+                    break  # too short to paper over: surface the hard error
+                n_pad = want - len(rows)
+                logging.warning(
+                    "video ended short of its metadata frame count; "
+                    "repeating the last decoded frame %d time(s)", n_pad)
+                self._eof_pad_left -= n_pad
+                rows.extend([last] * n_pad)
                 break
             rows.append(np.ascontiguousarray(bgr[:, :, ::-1]).reshape(-1))
         if not rows:
             return None
+        self._last_row = rows[-1]
         self.curr_frame += len(rows)
         return np.stack(rows)
 
@@ -448,6 +467,15 @@ class fvvdp_video_source_video_file(fvvdp_video_source_dm):
         super().__init__(display_photometry=display_photometry,
                          color_space_name=color_space_name)
 
+        if isinstance(self.test_vidr, cv2_video_reader) \
+                and getattr(self.dm_photometry, "EOTF", None) == "PQ":
+            # OpenCV decodes everything to 8-bit SDR and exposes no colour
+            # metadata, so an HDR clip would be silently tone-crushed and
+            # scored as sRGB — refuse rather than return a wrong JOD.
+            raise RuntimeError(
+                "The OpenCV decode fallback is 8-bit SDR only and cannot "
+                "feed a PQ/HDR display model; install the ffmpeg binary or "
+                "use raw .yuv input for HDR video files.")
         if self.test_vidr.color_transfer == "smpte2084" \
                 and getattr(self.dm_photometry, "EOTF", None) != "PQ":
             logging.warning(

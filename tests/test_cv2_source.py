@@ -134,3 +134,43 @@ def test_np2vid_cv2_roundtrip(tmp_path, monkeypatch):
     ok, frame = cap.read()
     assert ok and frame.shape == (64, 96, 3)
     cap.release()
+
+
+@needs_media
+def test_cv2_reader_pads_overreported_frame_count():
+    """CAP_PROP_FRAME_COUNT can over-report (duration x fps estimate); a few
+    phantom tail frames are papered over by repeating the last frame instead
+    of crashing after the whole video was scored."""
+    from fovvideovdp_tpu.video_source_file import cv2_video_reader
+    with cv2_video_reader(REF) as r:
+        true_n = r.frames
+        r.frames = true_n + 2          # simulate a lying container
+        got = 0
+        last = None
+        while True:
+            b = r.get_frames_block(16)
+            if b is None:
+                break
+            got += b.shape[0]
+            last = b
+        assert got == true_n + 2
+        np.testing.assert_array_equal(last[-1], last[-2])  # padded tail
+    # a grossly wrong count still fails loudly
+    with cv2_video_reader(REF) as r:
+        r.frames = r.frames + 50
+        got = 0
+        while True:
+            b = r.get_frames_block(16)
+            if b is None:
+                break
+            got += b.shape[0]
+        assert got < r.frames - 1
+
+
+@needs_media
+def test_cv2_fallback_refuses_hdr_display():
+    from fovvideovdp_tpu.video_source_file import fvvdp_video_source_file
+    with pytest.raises(RuntimeError, match="8-bit SDR"):
+        fvvdp_video_source_file(TST, REF,
+                                display_photometry="standard_hdr_pq",
+                                frames=2)

@@ -75,3 +75,17 @@ def test_torch_optimiser_reduces_loss(pair):
         opt.step()
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
+
+
+def test_eval_path_under_no_grad(pair):
+    tst, ref = pair
+    fv = fvvdp(display_name="standard_4k")
+    loss_fn = fvvdp_torch_loss(fv, dim_order="HWC")
+    t_t = torch.tensor(tst, requires_grad=True)
+    t_r = torch.tensor(ref)
+    with torch.no_grad():
+        v_eval = loss_fn(t_t, t_r)
+    assert t_t.grad is None
+    v_train = loss_fn(t_t, t_r)
+    np.testing.assert_allclose(float(v_eval), float(v_train.detach()),
+                               rtol=1e-5)

@@ -44,8 +44,8 @@ def main():
         "plain": fvvdp(display_name=args.display),
         "heatmap": fvvdp(display_name=args.display, heatmap="threshold"),
         "foveated": fvvdp(display_name=args.display, foveated=True),
-        "foveated-moving": fvvdp(display_name=args.display, foveated=True),
     }
+    metrics["foveated-moving"] = metrics["foveated"]
     rng = np.random.RandomState(0)
 
     for (W, H) in RESOLUTIONS:
