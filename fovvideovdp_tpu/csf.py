@@ -20,6 +20,13 @@ import numpy as np
 from fovvideovdp_tpu import utils
 from fovvideovdp_tpu.ops.interp import interp3
 
+# Contractions against the S_log tables must NOT run as single-pass bf16
+# MXU matmuls (the TPU default): S_log magnitudes (~13) round to ~0.05
+# absolute in bf16, a ~3.5% sensitivity error — beyond the metric's
+# parity tolerance.  All lookup contractions request full-precision
+# accumulation (a no-op on CPU).
+_PREC = jax.lax.Precision.HIGHEST
+
 _DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
 
 LUT_FIELDS = ("Y", "rho", "ecc", "Y_log", "rho_log", "ecc_sqrt", "S_log")
@@ -163,8 +170,8 @@ def _monotone_weights(q, grid):
     i_lo = jnp.clip(i_hi - 1, 0, n - 1)
     oh_lo = jax.nn.one_hot(i_lo, n, dtype=q.dtype)
     oh_hi = jax.nn.one_hot(i_hi, n, dtype=q.dtype)
-    x_lo = oh_lo @ grid
-    x_hi = oh_hi @ grid
+    x_lo = jnp.matmul(oh_lo, grid, precision=_PREC)
+    x_hi = jnp.matmul(oh_hi, grid, precision=_PREC)
     f = (q - x_lo) / (x_hi - x_lo + 1e-6)
     f = jnp.where((i_hi == i_lo) | (f < 0.0), 0.0, f)
     return oh_lo * (1.0 - f)[..., None] + oh_hi * f[..., None]
@@ -257,8 +264,8 @@ def reduce_lut_to_pixel_tables(lut: Dict[str, jnp.ndarray], rho, ecc):
         rq, eq = args
         w_r = _grid_weights(rq, lut["rho_log"], u_r)    # (c, n)
         w_e = _grid_weights(eq, lut["ecc_sqrt"], u_e)   # (c, n)
-        B = jnp.einsum("yjk,pk->pyj", V, w_e)           # (c, n, n)
-        return jnp.einsum("pyj,pj->py", B, w_r)         # (c, n)
+        B = jnp.einsum("yjk,pk->pyj", V, w_e, precision=_PREC)           # (c, n, n)
+        return jnp.einsum("pyj,pj->py", B, w_r, precision=_PREC)         # (c, n)
 
     T = jax.lax.map(one_chunk, (rho_q.reshape(n_chunks, chunk),
                                 ecc_q.reshape(n_chunks, chunk)))
@@ -286,7 +293,7 @@ def sensitivity_1d(lut: Dict[str, jnp.ndarray], table_1d, L_bkg):
     """
     Yq = jnp.log2(jnp.clip(L_bkg, lut["Y"][0], lut["Y"][-1]))
     oh = _grid_weights(Yq, lut["Y_log"], _axis_uniform(lut, "Y_log"))
-    s_log = oh @ jnp.asarray(table_1d)
+    s_log = jnp.matmul(oh, jnp.asarray(table_1d), precision=_PREC)
     return jnp.power(2.0, s_log)
 
 
@@ -334,8 +341,8 @@ def sensitivity_trilinear(lut: Dict[str, jnp.ndarray], rho, L_bkg, ecc):
         w_y = _grid_weights(yq, lut["Y_log"], u_y)      # (c, 32)
         w_r = _grid_weights(rq, lut["rho_log"], u_r)    # (c, 32)
         w_e = _grid_weights(eq, lut["ecc_sqrt"], u_e)   # (c, 32)
-        A = (w_y @ V_flat).reshape(-1, n, n)            # (c, rho, ecc)
-        B = jnp.einsum("pik,pi->pk", A, w_r)            # (c, ecc)
+        A = jnp.matmul(w_y, V_flat, precision=_PREC).reshape(-1, n, n)            # (c, rho, ecc)
+        B = jnp.einsum("pik,pi->pk", A, w_r, precision=_PREC)            # (c, ecc)
         return jnp.sum(B * w_e, axis=-1)                # (c,)
 
     s_log = jax.lax.map(one_chunk, (Y_q.reshape(n_chunks, chunk),
@@ -390,10 +397,10 @@ def sensitivity_trilinear_block(lut: Dict[str, jnp.ndarray], rho_map,
     def one_chunk(args):
         rq, yq, eq = args                              # (c,), (F, c), (F, c)
         w_r = _grid_weights(rq, lut["rho_log"], u_r)   # (c, n)
-        G = jnp.einsum("pj,yje->pye", w_r, V)          # (c, n, n) once/block
+        G = jnp.einsum("pj,yje->pye", w_r, V, precision=_PREC)          # (c, n, n) once/block
         w_y = _grid_weights(yq, lut["Y_log"], u_y)     # (F, c, n)
         w_e = _grid_weights(eq, lut["ecc_sqrt"], u_e)  # (F, c, n)
-        B = jnp.einsum("fpy,pye->fpe", w_y, G)         # (F, c, n)
+        B = jnp.einsum("fpy,pye->fpe", w_y, G, precision=_PREC)         # (F, c, n)
         return jnp.sum(B * w_e, axis=-1)               # (F, c)
 
     s_log = jax.lax.map(one_chunk,

@@ -118,3 +118,32 @@ def test_golden_fixture_on_tpu(goldens):
     fv = fvvdp(display_name="standard_4k")
     Q, _ = fv.predict(g["test"], g["ref"], dim_order="HWC")
     assert abs(Q - float(g["Q_jod"])) <= 0.01, (Q, float(g["Q_jod"]))
+
+
+def test_foveated_tpu_matches_cpu():
+    """Foveated parity on hardware for BOTH CSF paths: the fixed-gaze
+    per-pixel tables and the moving-gaze block trilinear.  These run through
+    einsum/one-hot contractions against the S_log LUT, which on TPU need the
+    explicit full-precision override in csf.py (single-pass bf16 rounds
+    S_log by ~0.05 — a ~3.5% sensitivity error)."""
+    _require_tpu()
+    import jax
+
+    from fovvideovdp_tpu import fvvdp
+    from fovvideovdp_tpu.ops import pallas as pallas_cfg
+
+    rng = np.random.RandomState(4)
+    ref = (rng.rand(200, 320, 3, 6) * 255).astype(np.uint8)
+    tst = np.clip(ref.astype(np.int16) + rng.randint(-14, 14, ref.shape),
+                  0, 255).astype(np.uint8)
+    gaze = np.stack([np.linspace(20, 300, 6), np.linspace(20, 180, 6)]).T
+    kw = dict(dim_order="HWCF", frames_per_second=30)
+
+    for label, fix in [("fixed", None), ("moving", gaze)]:
+        fv = fvvdp(display_name="htc_vive_pro", foveated=True)
+        Q_tpu, _ = fv.predict(tst, ref, fixation_point=fix, **kw)
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu), pallas_cfg.forced(False):
+            fv_c = fvvdp(display_name="htc_vive_pro", foveated=True)
+            Q_cpu, _ = fv_c.predict(tst, ref, fixation_point=fix, **kw)
+        assert abs(Q_tpu - Q_cpu) <= 0.01, (label, Q_tpu, Q_cpu)
