@@ -54,4 +54,8 @@ def yuv_to_rgb(Y, u, v, bit_depth: int, chroma_ss: str, bt2020: bool):
         uvf = upscale_chroma(uvf, (H, W))
     Yuv = jnp.stack((Yf, uvf[0], uvf[1]), axis=-1)
     M = YCBCR2RGB_REC2020 if bt2020 else YCBCR2RGB_REC709
-    return Yuv @ jnp.asarray(M).T
+    # full-precision accumulation: the TPU's default single-pass bf16 matmul
+    # would round the colour conversion by ~0.4% per channel, which the PQ
+    # EOTF then amplifies on the HDR .yuv path
+    return jnp.matmul(Yuv, jnp.asarray(M).T,
+                      precision=jax.lax.Precision.HIGHEST)
