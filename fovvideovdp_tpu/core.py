@@ -294,17 +294,21 @@ class MetricCore:
         # ONE Pallas kernel per level directly on the Gaussian pyramid —
         # contrast bands and L_bkg never touch HBM.
         from fovvideovdp_tpu.ops import pallas as pallas_cfg
-        fused_common = (not self.foveated and not self.do_heatmap
-                        and self.contrast != "log"
-                        and self.masking_model == "min_mutual_masking_perc_norm2"
-                        and float(p.get("pu_dilate", 0.0)) == 0.0
-                        # the Pallas kernels' LUT coordinate is index
-                        # arithmetic, valid only for Y grids uniform in log2
-                        and all(csf_mod._axis_uniform(l, "Y_log")
-                                for l in self.luts)
-                        and not self.ignore_boundary_pixels
-                        and self.band_callback is None
-                        and R.dtype == jnp.float32 and pallas_cfg.use_pallas())
+        fused_base = (not self.do_heatmap
+                      and self.contrast != "log"
+                      and self.masking_model == "min_mutual_masking_perc_norm2"
+                      and float(p.get("pu_dilate", 0.0)) == 0.0
+                      # the Pallas kernels' LUT coordinate is index
+                      # arithmetic, valid only for Y grids uniform in log2
+                      and all(csf_mod._axis_uniform(l, "Y_log")
+                              for l in self.luts)
+                      and not self.ignore_boundary_pixels
+                      and self.band_callback is None
+                      and R.dtype == jnp.float32 and pallas_cfg.use_pallas())
+        fused_common = fused_base and not self.foveated
+        # fixed-gaze foveated: per-pixel CSF tables feed the fused scorer
+        fov_fused = (fused_base and self.foveated and fov_tables is not None
+                     and self._luts_share_Y and self.local_adapt == "gpyr")
         if (fused_common and temp_ch in (1, 2) and self._luts_share_Y
                 and self.local_adapt == "gpyr"):
             if temp_ch == 1:
@@ -358,6 +362,26 @@ class MetricCore:
 
             Q_cc = []
             D_acc = None
+            if fov_fused and is_contrast:
+                from fovvideovdp_tpu.ops.pallas import band_score as bs
+                if bs.supports(h, w):
+                    if temp_ch == 1:
+                        # image path: zero transient contrast scores exactly
+                        # 0 through the kernel (D(0,0) = 0)
+                        zb = jnp.zeros_like(band[:, 0])
+                        b4 = jnp.stack([band[:, 0], band[:, 1], zb, zb],
+                                       axis=1)
+                    else:
+                        b4 = band
+                    ssum2 = bs.band_score2_fov_pallas(
+                        b4, L_bkg, fov_tables[bb][0], fov_tables[bb][1],
+                        self.luts[0], p["mask_p"], p["mask_q_sust"],
+                        p["mask_q_trans"], p["mask_c"], sens_corr,
+                        p["beta"])                      # (F, 2)
+                    inv_norm = float(npix) ** (1.0 / p["beta"])
+                    Q_rows.append(jnp.transpose(
+                        jnp.power(ssum2, 1.0 / p["beta"]) / inv_norm))
+                    continue
             if fused_ok:
                 from fovvideovdp_tpu.ops.pallas import band_score as bs
                 if bs.supports(band.shape[-2], band.shape[-1]):

@@ -230,7 +230,7 @@ def trim_lut_range(tables, lut: Dict, lbkg_min: float = 0.1,
 
 def reduce_lut_to_pixel_tables(lut: Dict[str, jnp.ndarray], rho, ecc):
     """Collapse the 3-D LUT over its (rho, ecc) axes with PER-PIXEL static
-    maps -> (h, w, n) S_log(Y_log) tables.
+    maps -> (n, h, w) plane-major S_log(Y_log) tables.
 
     This is the fixed-gaze foveated fast path: when the fixation point does
     not move, rho (spatial frequency x resolution magnification) and ecc
@@ -238,7 +238,8 @@ def reduce_lut_to_pixel_tables(lut: Dict[str, jnp.ndarray], rho, ecc):
     interpolation runs ONCE per video here, and the per-frame work reduces
     to the same 1-D luminance interpolation as the non-foveated path.
     Exactly equal to sensitivity_trilinear by associativity of linear
-    interpolation.
+    interpolation.  Plane-major layout so the fused Pallas scorer can slice
+    whole knot planes per VMEM tile.
     """
     shape = jnp.shape(ecc)
     rho = jnp.broadcast_to(jnp.asarray(rho, jnp.float32), shape).reshape(-1)
@@ -269,16 +270,43 @@ def reduce_lut_to_pixel_tables(lut: Dict[str, jnp.ndarray], rho, ecc):
 
     T = jax.lax.map(one_chunk, (rho_q.reshape(n_chunks, chunk),
                                 ecc_q.reshape(n_chunks, chunk)))
-    return T.reshape(-1, n)[:N].reshape(shape + (n,))
+    return jnp.moveaxis(T.reshape(-1, n)[:N].reshape(shape + (n,)), -1, 0)
+
+
+def grid_index_coord(q, grid, uniform: bool):
+    """Query positions as fractional INDEX coordinates of ``grid``: i_lo + f
+    with the reference cell-search semantics (clamped ends, zeroed negative
+    fractions).  The telescoped delta interpolation consumes this directly;
+    uniform grids reduce to pure index arithmetic, monotone grids use the
+    gather-free comparison count."""
+    n = grid.shape[0]
+    if uniform:
+        x0 = grid[0]
+        dx = (grid[-1] - grid[0]) / (n - 1)
+        return jnp.clip((q - x0) / dx, 0.0, float(n - 1))
+    qf = q[..., None]
+    i_hi = jnp.minimum(jnp.sum((grid < qf).astype(jnp.int32), axis=-1), n - 1)
+    i_lo = jnp.clip(i_hi - 1, 0, n - 1)
+    oh_lo = jax.nn.one_hot(i_lo, n, dtype=q.dtype)
+    oh_hi = jax.nn.one_hot(i_hi, n, dtype=q.dtype)
+    x_lo = jnp.matmul(oh_lo, grid, precision=_PREC)
+    x_hi = jnp.matmul(oh_hi, grid, precision=_PREC)
+    f = (q - x_lo) / (x_hi - x_lo + 1e-6)
+    f = jnp.where((i_hi == i_lo) | (f < 0.0), 0.0, f)
+    return i_lo.astype(q.dtype) + f
 
 
 def sensitivity_pixel_tables(lut: Dict[str, jnp.ndarray], tables, L_bkg):
-    """Per-pixel S from per-pixel S_log(Y_log) tables (h, w, n); L_bkg may
-    carry leading frame axes.  Gather-free one-hot contraction as in
-    sensitivity_1d."""
+    """Per-pixel S from plane-major per-pixel S_log(Y_log) tables (n, h, w);
+    L_bkg may carry leading frame axes.  Telescoped delta form — pure fused
+    FMAs, no (npix, n) one-hot intermediate and no matmul rounding."""
     Yq = jnp.log2(jnp.clip(L_bkg, lut["Y"][0], lut["Y"][-1]))
-    oh = _grid_weights(Yq, lut["Y_log"], _axis_uniform(lut, "Y_log"))
-    s_log = jnp.sum(oh * tables, axis=-1)  # tables broadcast over frames
+    u = grid_index_coord(Yq, lut["Y_log"], _axis_uniform(lut, "Y_log"))
+    n = tables.shape[0]
+    s_log = jnp.zeros_like(u) + tables[0]
+    for i in range(n - 1):
+        s_log = s_log + (tables[i + 1] - tables[i]) * jnp.clip(
+            u - float(i), 0.0, 1.0)
     return jnp.power(2.0, s_log)
 
 

@@ -212,6 +212,158 @@ def band_score2_pallas(band, L_bkg, tables, lut, p, q_sust, q_trans, mask_c,
                         L_bkg, jnp.asarray(tables), meta2)
 
 
+# ---------------------------------------------------------------------------
+# foveated fixed-gaze variant: PER-PIXEL S_log(Y_log) tables (plane-major)
+# ---------------------------------------------------------------------------
+
+def _band_score2_fov_kernel(tabs_s_ref, tabs_t_ref, Ts_ref, Rs_ref, Tt_ref,
+                            Rt_ref, L_ref, out_ref, *, y0, dy, Ymin, Ymax, p,
+                            q_s, q_t, c10, corr, beta, n_grid):
+    """Both temporal channels of one (row, column) tile with per-pixel CSF
+    tables.  The grid iterates frames INNERMOST with the table blocks
+    indexed by the tile only, so Pallas re-DMAs the (heavy) tables once per
+    tile and reuses them across the whole frame block."""
+    L = L_ref[0]
+    u = (jnp.log2(jnp.clip(L, Ymin, Ymax)) - y0) / dy
+    u = jnp.clip(u, 0.0, float(n_grid - 1))
+    # table_interp_delta indexes rows by knot; a plane-major ref block
+    # (n, TR, CB) yields a (TR, CB) plane per knot, so the same telescoped
+    # accumulation interpolates per pixel.
+    s_s, s_t = score_math.table_interp_delta(
+        (tabs_s_ref, tabs_t_ref), u, n_grid)
+
+    lcorr = float(np.log2(corr))
+    lc10 = float(np.log2(c10))
+    for c, (T_ref, R_ref, s_log, q) in enumerate(
+            ((Ts_ref, Rs_ref, s_s, q_s), (Tt_ref, Rt_ref, s_t, q_t))):
+        D_b = score_math.d_beta_log2(T_ref[0], R_ref[0], s_log + lcorr,
+                                     p, q, lc10, beta)
+        out_ref[0, 0, 0, c] = jnp.sum(D_b)
+
+
+def _fov_tile_shape(h: int, w: int):
+    """(TR, CB) so two double-buffered (n, TR, CB) table blocks fit VMEM
+    (~8 MB budget), preferring the column block that pads least."""
+    best = None
+    for cb in (512, 384, 256, 128):
+        wp = ceildiv(w, cb) * cb
+        if best is None or wp < best[1]:
+            best = (cb, wp)
+    CB, _ = best
+    TR = min(32, max(8, 16384 // CB))
+    return TR, CB
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "y0", "dy", "Ymin", "Ymax", "p", "q_s", "q_t", "c10", "corr", "beta",
+    "interpret"))
+def _band_score2_fov_call(Ts, Rs, Tt, Rt, L, tabs_s, tabs_t, y0, dy, Ymin,
+                          Ymax, p, q_s, q_t, c10, corr, beta, interpret=False):
+    F, h, w = Ts.shape
+    n_grid = tabs_s.shape[0]
+    TR, CB = _fov_tile_shape(h, w)
+    n_rt = ceildiv(h, TR)
+    n_ct = ceildiv(w, CB)
+    hp, wp = n_rt * TR, n_ct * CB
+    if hp != h or wp != w:
+        pad = ((0, 0), (0, hp - h), (0, wp - w))
+        # padded pixels hold T == R == 0 -> D = 0 exactly, any table value
+        Ts, Rs = jnp.pad(Ts, pad), jnp.pad(Rs, pad)
+        Tt, Rt = jnp.pad(Tt, pad), jnp.pad(Rt, pad)
+        L = jnp.pad(L, pad, constant_values=1.0)
+        tpad = ((0, 0), (0, hp - h), (0, wp - w))
+        tabs_s = jnp.pad(tabs_s, tpad)
+        tabs_t = jnp.pad(tabs_t, tpad)
+
+    tab_spec = pl.BlockSpec((n_grid, TR, CB), lambda ct, rt, f: (0, rt, ct),
+                            memory_space=pltpu.VMEM)
+    band_spec = pl.BlockSpec((1, TR, CB), lambda ct, rt, f: (f, rt, ct),
+                             memory_space=pltpu.VMEM)
+    partials = pl.pallas_call(
+        functools.partial(_band_score2_fov_kernel, y0=y0, dy=dy, Ymin=Ymin,
+                          Ymax=Ymax, p=p, q_s=q_s, q_t=q_t, c10=c10,
+                          corr=corr, beta=beta, n_grid=n_grid),
+        grid=(n_ct, n_rt, F),
+        in_specs=[tab_spec, tab_spec] + [band_spec] * 5,
+        out_specs=pl.BlockSpec((1, 1, 1, 2), lambda ct, rt, f: (ct, rt, f, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((n_ct, n_rt, F, 2), Ts.dtype),
+        interpret=interpret,
+    )(tabs_s, tabs_t, Ts, Rs, Tt, Rt, L)
+    return jnp.sum(partials, axis=(0, 1))  # (F, 2) sums of D^beta
+
+
+def _band_score2_fov_jnp(Ts, Rs, Tt, Rt, L, tabs_s, tabs_t, meta2):
+    """jnp composition with identical math (fallback + gradient rule)."""
+    y0, dy, Ymin, Ymax, p, q_s, q_t, c10, corr, beta = meta2
+    n = tabs_s.shape[0]
+    u = jnp.clip((jnp.log2(jnp.clip(L, Ymin, Ymax)) - y0) / dy, 0.0,
+                 float(n - 1))
+
+    def s_of(tabs):
+        s = jnp.zeros_like(u) + tabs[0]
+        for i in range(n - 1):
+            s = s + (tabs[i + 1] - tabs[i]) * jnp.clip(u - float(i), 0.0, 1.0)
+        return jnp.exp2(s) * corr
+
+    outs = []
+    for T, R, tabs, q in ((Ts, Rs, tabs_s, q_s), (Tt, Rt, tabs_t, q_t)):
+        Se = s_of(tabs)
+        Tn, Rn = T * Se, R * Se
+        M = c10 * jnp.minimum(jnp.abs(Tn), jnp.abs(Rn))
+        D = jnp.minimum(jnp.power(jnp.abs(Tn - Rn), p)
+                        / (1.0 + jnp.power(M, q)), 1e4)
+        outs.append(jnp.sum(jnp.power(D, beta), axis=(-2, -1)))
+    return jnp.stack(outs, axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _band_score2_fov(Ts, Rs, Tt, Rt, L, tabs_s, tabs_t, meta2):
+    from fovvideovdp_tpu.ops import pallas as pallas_cfg
+    y0, dy, Ymin, Ymax, p, q_s, q_t, c10, corr, beta = meta2
+    return _band_score2_fov_call(Ts, Rs, Tt, Rt, L, tabs_s, tabs_t, y0=y0,
+                                 dy=dy, Ymin=Ymin, Ymax=Ymax, p=p, q_s=q_s,
+                                 q_t=q_t, c10=c10, corr=corr, beta=beta,
+                                 interpret=pallas_cfg.interpret_mode())
+
+
+def _bs2f_fwd(Ts, Rs, Tt, Rt, L, tabs_s, tabs_t, meta2):
+    return _band_score2_fov(Ts, Rs, Tt, Rt, L, tabs_s, tabs_t, meta2), \
+        (Ts, Rs, Tt, Rt, L, tabs_s, tabs_t)
+
+
+def _bs2f_bwd(meta2, res, g):
+    Ts, Rs, Tt, Rt, L, tabs_s, tabs_t = res
+    _, vjp = jax.vjp(
+        lambda a, b, c, d, e, s, t: _band_score2_fov_jnp(a, b, c, d, e, s, t,
+                                                         meta2),
+        Ts, Rs, Tt, Rt, L, tabs_s, tabs_t)
+    return vjp(g)
+
+
+_band_score2_fov.defvjp(_bs2f_fwd, _bs2f_bwd)
+
+
+def band_score2_fov_pallas(band, L_bkg, tabs_s, tabs_t, lut, p, q_sust,
+                           q_trans, mask_c, sens_corr, beta):
+    """Fused scoring of BOTH temporal channels with PER-PIXEL CSF tables
+    (the fixed-gaze foveated path).
+
+    band: (F, 4, h, w) contrast stack; tabs_s/tabs_t: (n, h, w) plane-major
+    S_log(Y_log) tables (core.fov_tables output; both LUTs must share the Y
+    grid).  Returns (F, 2) per-frame sums of D^beta."""
+    Y_log = np.asarray(lut["Y_log"])
+    Y = np.asarray(lut["Y"])
+    meta2 = (float(Y_log[0]),
+             float((Y_log[-1] - Y_log[0]) / (Y_log.shape[0] - 1)),
+             float(Y[0]), float(Y[-1]),
+             float(p), float(q_sust), float(q_trans),
+             float(10.0 ** mask_c), float(sens_corr), float(beta))
+    return _band_score2_fov(band[:, 0], band[:, 1], band[:, 2], band[:, 3],
+                            L_bkg, jnp.asarray(tabs_s), jnp.asarray(tabs_t),
+                            meta2)
+
+
 def _band_score_jnp(T, R, L, table, meta):
     """jnp composition with identical math (fallback + gradient rule)."""
     y0, dy, Ymin, Ymax, p, q, c10, corr, beta = meta
