@@ -157,3 +157,37 @@ def test_pallas_dispatch_gradient():
     g2 = jax.grad(lambda v: jnp.sum(_gausspyr_reduce_jnp(v) ** 2))(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_pallas_band_score2_fov_matches_jnp():
+    """Per-pixel-table (fixed-gaze foveated) fused scorer on hardware."""
+    dev = _tpu_device()
+    from fovvideovdp_tpu.ops.pallas import band_score as bs
+    import __graft_entry__ as ge
+    core = ge._make_core(256, 160)
+    p = core.params
+    rng = np.random.RandomState(5)
+    F, h, w = 3, 150, 250   # pads both tile axes
+    band = jax.device_put(
+        jnp.asarray(rng.randn(F, 4, h, w).astype(np.float32) * 0.05), dev)
+    L = jax.device_put(jnp.asarray(
+        (10.0 ** rng.uniform(-1, 2.3, (F, h, w))).astype(np.float32)), dev)
+    n = core.luts[0]["S_log"].shape[0]
+    tabs_s = jax.device_put(jnp.asarray(
+        rng.uniform(-5, 10, (n, h, w)).astype(np.float32)), dev)
+    tabs_t = tabs_s + jax.device_put(jnp.asarray(
+        rng.uniform(-1, 1, (n, h, w)).astype(np.float32)), dev)
+    corr = 10.0 ** (p["sensitivity_correction"] / 20)
+    got = np.asarray(bs.band_score2_fov_pallas(
+        band, L, tabs_s, tabs_t, core.luts[0], p["mask_p"], p["mask_q_sust"],
+        p["mask_q_trans"], p["mask_c"], corr, p["beta"]))
+    Y_log = np.asarray(core.luts[0]["Y_log"])
+    Y = np.asarray(core.luts[0]["Y"])
+    meta2 = (float(Y_log[0]), float((Y_log[-1] - Y_log[0]) / (n - 1)),
+             float(Y[0]), float(Y[-1]), float(p["mask_p"]),
+             float(p["mask_q_sust"]), float(p["mask_q_trans"]),
+             float(10.0 ** p["mask_c"]), float(corr), float(p["beta"]))
+    want = np.asarray(bs._band_score2_fov_jnp(
+        band[:, 0], band[:, 1], band[:, 2], band[:, 3], L, tabs_s, tabs_t,
+        meta2))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6)
