@@ -119,6 +119,20 @@ class MetricCore:
                     lbkg_max=peak_luminance)
                 self._score_tables.append(t2)
             self._score_lut = lut2
+        # Foveated fixed-gaze: the per-pixel tables get the same Y-knot trim
+        # (~32 -> ~19 planes: less kernel work AND a ~40% cut of the
+        # GB-scale table cache).  Valid only where L_bkg is guaranteed inside
+        # [0.1, peak] — the default contrast-pyramid path; the local-adapt /
+        # log-contrast ablations keep the full grid.
+        self._fov_trim = None
+        self._fov_lut: Optional[Dict] = None
+        if foveated and self._luts_share_Y and self.local_adapt == "gpyr" \
+                and self.contrast != "log":
+            lo, hi, lut2 = csf_mod.trim_lut_bounds(self.luts[0],
+                                                   lbkg_max=peak_luminance)
+            if lut2 is not self.luts[0]:
+                self._fov_trim = (lo, hi)
+                self._fov_lut = lut2
 
     # ------------------------------------------------------------------
     # scoring of a block of temporal-response frames
@@ -155,9 +169,15 @@ class MetricCore:
                 vd = self._band_view_dir[bb]          # (2, h, w)
                 ecc = jnp.sqrt(jnp.sum((vd - gaze_dir) ** 2, axis=0))
                 rho = self._band_rho[bb]              # (h, w)
-                tabs.append(tuple(
-                    csf_mod.reduce_lut_to_pixel_tables(self.luts[cc], rho, ecc)
-                    for cc in range(len(self.luts))))
+                per_cc = []
+                for cc in range(len(self.luts)):
+                    t = csf_mod.reduce_lut_to_pixel_tables(
+                        self.luts[cc], rho, ecc)
+                    if self._fov_trim is not None:
+                        lo, hi = self._fov_trim
+                        t = t[lo:hi + 1]
+                    per_cc.append(t)
+                tabs.append(tuple(per_cc))
             jax.block_until_ready(tabs)
             self._fov_table_cache[key] = tabs
         return self._fov_table_cache[key]
@@ -375,9 +395,9 @@ class MetricCore:
                         b4 = band
                     ssum2 = bs.band_score2_fov_pallas(
                         b4, L_bkg, fov_tables[bb][0], fov_tables[bb][1],
-                        self.luts[0], p["mask_p"], p["mask_q_sust"],
-                        p["mask_q_trans"], p["mask_c"], sens_corr,
-                        p["beta"])                      # (F, 2)
+                        self._fov_lut or self.luts[0], p["mask_p"],
+                        p["mask_q_sust"], p["mask_q_trans"], p["mask_c"],
+                        sens_corr, p["beta"])           # (F, 2)
                     inv_norm = float(npix) ** (1.0 / p["beta"])
                     Q_rows.append(jnp.transpose(
                         jnp.power(ssum2, 1.0 / p["beta"]) / inv_norm))
@@ -416,7 +436,8 @@ class MetricCore:
 
                 if use_static_fov:
                     S = csf_mod.sensitivity_pixel_tables(
-                        self.luts[cc], fov_tables[bb][cc], L_bkg)
+                        self._fov_lut or self.luts[cc],
+                        fov_tables[bb][cc], L_bkg)
                 elif self.foveated:
                     # rho is frame-invariant: its LUT axis collapses once per
                     # pixel and all F frames of the block reuse the collapse

@@ -186,9 +186,10 @@ def _axis_uniform(lut: Dict, axis: str) -> bool:
     return True if flags is None else bool(flags[axis])
 
 
-def trim_lut_range(tables, lut: Dict, lbkg_min: float = 0.1,
-                   lbkg_max: Optional[float] = None):
-    """Slice away Y-grid knots the scorers can never weight.
+def trim_lut_bounds(lut: Dict, lbkg_min: float = 0.1,
+                    lbkg_max: Optional[float] = None):
+    """Y-grid knot range [lo, hi] the scorers can actually weight, plus a
+    LUT copy with Y/Y_log sliced to it.
 
     The fused band scorers clamp the background luminance to >= 0.1 cd/m^2
     in-kernel (the contrast pyramid's clamp, pyfvvdp/fvvdp_lpyr_dec.py:264)
@@ -196,19 +197,15 @@ def trim_lut_range(tables, lut: Dict, lbkg_min: float = 0.1,
     delta taps outside [lbkg_min, lbkg_max] receive exactly zero weight;
     dropping them shrinks the per-pixel interpolation loop (~32 -> ~19 knots
     for a 200 cd/m^2 SDR display).  One guard knot is kept on each side so
-    every in-range evaluation keeps its exact support.
-
-    ``tables`` is one or a stack of 1-D S_log tables over ``lut``'s Y grid
-    (last axis).  Returns ``(tables[..., lo:hi+1], lut')`` with ``lut'`` a
-    shallow copy whose Y/Y_log are sliced identically — downstream meta
-    derivation (y0, dy, Ymin, Ymax) keeps working unchanged.  No-op for
-    non-uniform grids or when nothing can be trimmed.
+    every in-range evaluation keeps its exact support.  Returns
+    ``(lo, hi, lut')`` — ``(0, n-1, lut)`` when nothing can be trimmed
+    (non-uniform grid, tiny grid, or full range needed).
     """
     Y_log = np.asarray(lut["Y_log"]).reshape(-1)
     Y = np.asarray(lut["Y"]).reshape(-1)
     n = Y_log.shape[0]
     if not _axis_uniform(lut, "Y_log") or n < 4:
-        return tables, lut
+        return 0, n - 1, lut
     y0 = float(Y_log[0])
     dy = float((Y_log[-1] - y0) / (n - 1))
     u_min = (np.log2(max(float(lbkg_min), float(Y[0]))) - y0) / dy
@@ -221,10 +218,20 @@ def trim_lut_range(tables, lut: Dict, lbkg_min: float = 0.1,
         hi = min(n - 1, int(np.ceil(u_max)) + 1)
     hi = max(hi, lo + 1)
     if lo == 0 and hi == n - 1:
-        return tables, lut
+        return lo, hi, lut
     lut2 = dict(lut)
     lut2["Y_log"] = Y_log[lo:hi + 1]
     lut2["Y"] = Y[lo:hi + 1]
+    return lo, hi, lut2
+
+
+def trim_lut_range(tables, lut: Dict, lbkg_min: float = 0.1,
+                   lbkg_max: Optional[float] = None):
+    """Slice Y-LAST-axis ``tables`` to the weightable knot range (see
+    :func:`trim_lut_bounds`).  Returns ``(tables[..., lo:hi+1], lut')``."""
+    lo, hi, lut2 = trim_lut_bounds(lut, lbkg_min, lbkg_max)
+    if lut2 is lut:
+        return tables, lut
     return np.asarray(tables)[..., lo:hi + 1], lut2
 
 
