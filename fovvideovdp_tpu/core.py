@@ -618,58 +618,135 @@ class MetricCore:
         key = ("videostep", filt.shape[1], self.foveated, self.heatmap,
                filt.tobytes(), tables is not None, log_contrast)
         if key not in self._fn_cache:
-            filt_np = np.asarray(filt, dtype=np.float32)
-            gaze_in_sig = self.foveated and tables is None
-            fl = filt_np.shape[1]
-
-            def step(carry_t, carry_r, new_t, new_r, *extra):
-                if log_contrast:
-                    new_t = jnp.log10(jnp.clip(new_t, 1e-6, None))
-                    new_r = jnp.log10(jnp.clip(new_r, 1e-6, None))
-                B = new_t.shape[0]
-                if fl > 1:
-                    # the Pallas kernel reads carry and block separately, so
-                    # the (fl-1+B)-frame window is never materialised in HBM.
-                    # Big blocks split into several kernel calls; frames are
-                    # a pure batch dim in the scorer, so score each chunk and
-                    # concatenate only the per-frame partials — never the
-                    # (F, 4, H, W) responses themselves.
-                    chunks = temporal_ops.temporal_channels_pair_chunks(
-                        carry_t, new_t, carry_r, new_r, filt_np)
-                else:
-                    chunks = [temporal_ops.temporal_channels(
-                        new_t, new_r, filt_np)]
-                Qs, heats, off = [], [], 0
-                for R in chunks:
-                    nf = R.shape[0]
-                    if tables is not None:
-                        q, h = self.score_frames(R, None, temp_ch=2,
-                                                 fov_tables=extra[0])
-                    else:
-                        gaze = extra[0] if gaze_in_sig else None
-                        if gaze is not None and gaze.ndim == 2:
-                            gaze = gaze[off:off + nf]
-                        q, h = self.score_frames(R, gaze, temp_ch=2)
-                    Qs.append(q)
-                    heats.append(h)
-                    off += nf
-                if len(chunks) == 1:
-                    Q, heat = Qs[0], heats[0]
-                else:
-                    Q = jnp.concatenate(Qs, axis=2)
-                    heat = (None if heats[0] is None
-                            else jnp.concatenate(heats, axis=0))
-                if fl - 1 <= 0:
-                    c_t, c_r = new_t[:0], new_r[:0]
-                elif fl - 1 <= B:
-                    c_t, c_r = new_t[-(fl - 1):], new_r[-(fl - 1):]
-                else:
-                    c_t = jnp.concatenate([carry_t, new_t], axis=0)[-(fl - 1):]
-                    c_r = jnp.concatenate([carry_r, new_r], axis=0)[-(fl - 1):]
-                return Q, heat, c_t, c_r
-
+            step = self._video_step(np.asarray(filt, dtype=np.float32),
+                                    self.foveated and tables is None,
+                                    tables is not None, log_contrast)
             self._fn_cache[key] = jax.jit(step)
         jitted = self._fn_cache[key]
         if tables is not None:
             return lambda ct, cr, nt, nr: jitted(ct, cr, nt, nr, tables)
+        return jitted
+
+    def _video_step(self, filt_np: np.ndarray, gaze_in_sig: bool,
+                    use_tables: bool, log_contrast: bool):
+        """Raw (unjitted) streaming step shared by :meth:`video_block_step_fn`
+        (which jits one step per host dispatch) and :meth:`video_scan_fn`
+        (which rolls the whole blocked schedule into one ``lax.scan``)."""
+        fl = filt_np.shape[1]
+
+        def step(carry_t, carry_r, new_t, new_r, *extra):
+            if log_contrast:
+                new_t = jnp.log10(jnp.clip(new_t, 1e-6, None))
+                new_r = jnp.log10(jnp.clip(new_r, 1e-6, None))
+            B = new_t.shape[0]
+            if fl > 1:
+                # the Pallas kernel reads carry and block separately, so
+                # the (fl-1+B)-frame window is never materialised in HBM.
+                # Big blocks split into several kernel calls; frames are
+                # a pure batch dim in the scorer, so score each chunk and
+                # concatenate only the per-frame partials — never the
+                # (F, 4, H, W) responses themselves.
+                chunks = temporal_ops.temporal_channels_pair_chunks(
+                    carry_t, new_t, carry_r, new_r, filt_np)
+            else:
+                chunks = [temporal_ops.temporal_channels(
+                    new_t, new_r, filt_np)]
+            Qs, heats, off = [], [], 0
+            for R in chunks:
+                nf = R.shape[0]
+                if use_tables:
+                    q, h = self.score_frames(R, None, temp_ch=2,
+                                             fov_tables=extra[0])
+                else:
+                    gaze = extra[0] if gaze_in_sig else None
+                    if gaze is not None and gaze.ndim == 2:
+                        gaze = gaze[off:off + nf]
+                    q, h = self.score_frames(R, gaze, temp_ch=2)
+                Qs.append(q)
+                heats.append(h)
+                off += nf
+            if len(chunks) == 1:
+                Q, heat = Qs[0], heats[0]
+            else:
+                Q = jnp.concatenate(Qs, axis=2)
+                heat = (None if heats[0] is None
+                        else jnp.concatenate(heats, axis=0))
+            if fl - 1 <= 0:
+                c_t, c_r = new_t[:0], new_r[:0]
+            elif fl - 1 <= B:
+                c_t, c_r = new_t[-(fl - 1):], new_r[-(fl - 1):]
+            else:
+                c_t = jnp.concatenate([carry_t, new_t], axis=0)[-(fl - 1):]
+                c_r = jnp.concatenate([carry_r, new_r], axis=0)[-(fl - 1):]
+            return Q, heat, c_t, c_r
+
+        return step
+
+    def video_scan_fn(self, filt: np.ndarray, block_frames: int,
+                      static_gaze=None, log_contrast: bool = False):
+        """Whole-video scorer in ONE dispatch: ``lax.scan`` over frame blocks.
+
+        For device-resident sources the streaming loop's per-block host
+        dispatches (and their transport round-trips) are pure overhead — the
+        entire blocked schedule compiles into a single XLA program whose scan
+        body IS the streaming step (:meth:`_video_step`), so the numerics
+        match the streaming path exactly.  Heatmaps keep the streaming path:
+        their per-block readback is the point of streaming.
+
+        fn(padded_t, padded_r [, gaze (n_blocks, B, 2)]) with ``padded_*`` =
+        (n_blocks*B + fl - 1, H, W) luminance (prefix = the fl-1 temporal
+        padding frames, tail = repeated last frame up to a whole block) ->
+        Q_per_ch (n_bands, 2, n_blocks*B).  The cached jit re-specialises per
+        video length (n_blocks is a shape).
+        """
+        if self.heatmap is not None:
+            raise RuntimeError("the scan path scores without heatmaps; "
+                               "use the streaming path")
+        tables = self._static_fov_tables(static_gaze)
+        key = ("videoscan", filt.shape[1], block_frames, self.foveated,
+               filt.tobytes(), tables is not None, log_contrast)
+        if key not in self._fn_cache:
+            filt_np = np.asarray(filt, dtype=np.float32)
+            gaze_in_sig = self.foveated and tables is None
+            use_tables = tables is not None
+            fl = filt_np.shape[1]
+            B = block_frames
+            step = self._video_step(filt_np, gaze_in_sig, use_tables,
+                                    log_contrast)
+
+            def enc(x):
+                return jnp.log10(jnp.clip(x, 1e-6, None)) if log_contrast else x
+
+            def fn(padded_t, padded_r, *extra):
+                n_blocks = (padded_t.shape[0] - (fl - 1)) // B
+                carry = (enc(padded_t[:fl - 1]), enc(padded_r[:fl - 1]))
+                sp = padded_t.shape[1:]
+                blocks_t = padded_t[fl - 1:].reshape((n_blocks, B) + sp)
+                blocks_r = padded_r[fl - 1:].reshape((n_blocks, B) + sp)
+                tabs = extra[0] if use_tables else None
+
+                def body(c, xs):
+                    if gaze_in_sig:
+                        nt, nr, gz = xs
+                        Q, _, ct, cr = step(c[0], c[1], nt, nr, gz)
+                    elif use_tables:
+                        nt, nr = xs
+                        Q, _, ct, cr = step(c[0], c[1], nt, nr, tabs)
+                    else:
+                        nt, nr = xs
+                        Q, _, ct, cr = step(c[0], c[1], nt, nr)
+                    return (ct, cr), Q
+
+                xs = (blocks_t, blocks_r)
+                if gaze_in_sig:
+                    xs = xs + (extra[0],)
+                _, Qs = jax.lax.scan(body, carry, xs)
+                # (n_blocks, n_bands, 2, B) -> (n_bands, 2, n_blocks*B)
+                return jnp.transpose(Qs, (1, 2, 0, 3)).reshape(
+                    Qs.shape[1], 2, n_blocks * B)
+
+            self._fn_cache[key] = jax.jit(fn)
+        jitted = self._fn_cache[key]
+        if tables is not None:
+            return lambda pt, pr: jitted(pt, pr, tables)
         return jitted

@@ -331,111 +331,118 @@ class fvvdp:
             Q_per_ch = np.zeros((plan.height, 2, N_frames), dtype=np.float32)
             stream_idx = pad_idx[fl - 1:]  # frame index feeding each output frame
 
-            if checkpoint_path and self.do_heatmap:
-                raise RuntimeError("checkpoint_path is not supported together "
-                                   "with heatmaps")
-            if checkpoint_path and not vid_source.supports_random_access():
-                raise RuntimeError(
-                    "checkpoint/resume needs a random-access video source "
-                    "(resuming must skip already-scored frames): use "
-                    "preload=True, a .yuv file, or array input")
-            fingerprint = None
-            if checkpoint_path:
-                import zlib
-                pad_code = {"replicate": 0, "circular": 1, "pingpong": 2}[
-                    self.temp_padding]  # NB: hash(str) is per-process random
-                # content+config probe: the first LUMINANCE frame folds in the
-                # pixels, the photometry (display/EOTF/peak), and the colour
-                # space — one extra frame decode on resume, so a checkpoint
-                # from a different video or display model is never mixed in
-                p_t, p_r = vid_source.get_luminance_block(0, 1)
-                probe = np.float64(np.sum(np.asarray(p_t, np.float64))
-                                   + 2.0 * np.sum(np.asarray(p_r, np.float64)))
-                # calibration + gaze trajectory: resuming under different
-                # metric parameters or a different fixation path must start
-                # fresh, not silently mix the two configurations
-                cfg_crc = zlib.crc32(json.dumps(
-                    self.parameters, sort_keys=True).encode())
-                gaze_crc = zlib.crc32(np.ascontiguousarray(
-                    fixation_point, np.float32).tobytes())
-                fingerprint = np.asarray(
-                    [height, width, N_frames, fl, B, pad_code,
-                     int(round(fps * 1000)), int(round(self.pix_per_deg * 1e3)),
-                     int(self.foveated), int(log_c), cfg_crc, gaze_crc,
-                     int(self.content_mapping is not None),
-                     np.float64(probe).view(np.int64)], np.int64)
-            start_pos, carry_t, carry_r = self._load_checkpoint(
-                checkpoint_path, fingerprint, Q_per_ch)
-            if carry_t is None:
-                # Warm-up frames: the first fl-1 entries of the padded sequence.
-                carry_t, carry_r = vid_source.get_indexed_luminance_block(
-                    pad_idx[:fl - 1])
-                carry_t, carry_r = _enc(carry_t), _enc(carry_r)
-            if mesh is not None:
-                # CSF tables for a fixed gaze bind per CALL, so one cached
-                # SPMD program serves every fixation point
-                fov_tabs = core._static_fov_tables(static_gaze)
-                raw = self._get_sharded_fn(
-                    ("videostep", core, mesh, filt.tobytes(),
-                     fov_tabs is not None, log_c), filt=filt)
-                fn = raw if fov_tabs is None else \
-                    (lambda ct, cr, nt, nr: raw(ct, cr, nt, nr, fov_tabs))
-            else:
-                fn = core.video_block_step_fn(filt, static_gaze=static_gaze,
-                                              log_contrast=log_c)
-
-            # The block loop is software-pipelined: device work for block k+1
-            # is dispatched before block k's results are pulled to the host,
-            # so host->device transfer and decode overlap TPU compute.
-            pending = []  # [(pos, b, Q_blk, heat)] not yet materialised
-            pos = start_pos
-            blocks_done = 0
-            while pos < N_frames:
-                b = min(B, N_frames - pos)
-                blk = stream_idx[pos:pos + b]
-                if np.array_equal(blk, np.arange(pos, pos + b)):
-                    new_t, new_r = vid_source.get_luminance_block(pos, b)
-                else:  # circular/pingpong padding reorders the first frames
-                    new_t, new_r = vid_source.get_indexed_luminance_block(blk)
-                if b < B:
-                    # Pad the tail block by repeating the last frame so every
-                    # block compiles to the same shape; the extra outputs are
-                    # discarded below.  (_enc is applied inside the step fn.)
-                    rep = jnp.repeat(new_t[-1:], B - b, axis=0)
-                    new_t = jnp.concatenate([new_t, rep], axis=0)
-                    new_r = jnp.concatenate([new_r, jnp.repeat(new_r[-1:], B - b,
-                                                               axis=0)], axis=0)
-                if pass_gaze:
-                    gaze = self._gaze_for_frames(fixation_point, pos, b, N_frames)
-                    if b < B:
-                        gaze = np.concatenate(
-                            [gaze, np.repeat(gaze[-1:], B - b, axis=0)], axis=0)
-                    Q_blk, heat, carry_t, carry_r = fn(
-                        carry_t, carry_r, new_t, new_r, jnp.asarray(gaze))
+            self._exec_path = "stream"  # introspection for tests/diagnostics
+            scanned = (mesh is None and not checkpoint_path
+                       and self._try_scan_video(
+                           vid_source, core, filt, fl, B, pad_idx, stream_idx,
+                           Q_per_ch, static_gaze, fixation_point, pass_gaze,
+                           log_c, N_frames, height, width))
+            if not scanned:
+                if checkpoint_path and self.do_heatmap:
+                    raise RuntimeError("checkpoint_path is not supported together "
+                                       "with heatmaps")
+                if checkpoint_path and not vid_source.supports_random_access():
+                    raise RuntimeError(
+                        "checkpoint/resume needs a random-access video source "
+                        "(resuming must skip already-scored frames): use "
+                        "preload=True, a .yuv file, or array input")
+                fingerprint = None
+                if checkpoint_path:
+                    import zlib
+                    pad_code = {"replicate": 0, "circular": 1, "pingpong": 2}[
+                        self.temp_padding]  # NB: hash(str) is per-process random
+                    # content+config probe: the first LUMINANCE frame folds in the
+                    # pixels, the photometry (display/EOTF/peak), and the colour
+                    # space — one extra frame decode on resume, so a checkpoint
+                    # from a different video or display model is never mixed in
+                    p_t, p_r = vid_source.get_luminance_block(0, 1)
+                    probe = np.float64(np.sum(np.asarray(p_t, np.float64))
+                                       + 2.0 * np.sum(np.asarray(p_r, np.float64)))
+                    # calibration + gaze trajectory: resuming under different
+                    # metric parameters or a different fixation path must start
+                    # fresh, not silently mix the two configurations
+                    cfg_crc = zlib.crc32(json.dumps(
+                        self.parameters, sort_keys=True).encode())
+                    gaze_crc = zlib.crc32(np.ascontiguousarray(
+                        fixation_point, np.float32).tobytes())
+                    fingerprint = np.asarray(
+                        [height, width, N_frames, fl, B, pad_code,
+                         int(round(fps * 1000)), int(round(self.pix_per_deg * 1e3)),
+                         int(self.foveated), int(log_c), cfg_crc, gaze_crc,
+                         int(self.content_mapping is not None),
+                         np.float64(probe).view(np.int64)], np.int64)
+                start_pos, carry_t, carry_r = self._load_checkpoint(
+                    checkpoint_path, fingerprint, Q_per_ch)
+                if carry_t is None:
+                    # Warm-up frames: the first fl-1 entries of the padded sequence.
+                    carry_t, carry_r = vid_source.get_indexed_luminance_block(
+                        pad_idx[:fl - 1])
+                    carry_t, carry_r = _enc(carry_t), _enc(carry_r)
+                if mesh is not None:
+                    # CSF tables for a fixed gaze bind per CALL, so one cached
+                    # SPMD program serves every fixation point
+                    fov_tabs = core._static_fov_tables(static_gaze)
+                    raw = self._get_sharded_fn(
+                        ("videostep", core, mesh, filt.tobytes(),
+                         fov_tabs is not None, log_c), filt=filt)
+                    fn = raw if fov_tabs is None else \
+                        (lambda ct, cr, nt, nr: raw(ct, cr, nt, nr, fov_tabs))
                 else:
-                    Q_blk, heat, carry_t, carry_r = fn(
-                        carry_t, carry_r, new_t, new_r)
+                    fn = core.video_block_step_fn(filt, static_gaze=static_gaze,
+                                                  log_contrast=log_c)
 
-                pending.append((pos, b, Q_blk, heat))
-                # pipeline depth 2: the device stays >= 1 full block ahead of
-                # the blocking host read-back
-                while len(pending) > 2:
-                    self._drain_block(pending.pop(0), Q_per_ch,
-                                      heatmap_frames, heat_dev_blocks)
-                pos += b
-                blocks_done += 1
-                if checkpoint_path and pos < N_frames \
-                        and blocks_done % max(1, checkpoint_every) == 0:
-                    while pending:  # Q values up to pos must be final on host
+                # The block loop is software-pipelined: device work for block k+1
+                # is dispatched before block k's results are pulled to the host,
+                # so host->device transfer and decode overlap TPU compute.
+                pending = []  # [(pos, b, Q_blk, heat)] not yet materialised
+                pos = start_pos
+                blocks_done = 0
+                while pos < N_frames:
+                    b = min(B, N_frames - pos)
+                    blk = stream_idx[pos:pos + b]
+                    if np.array_equal(blk, np.arange(pos, pos + b)):
+                        new_t, new_r = vid_source.get_luminance_block(pos, b)
+                    else:  # circular/pingpong padding reorders the first frames
+                        new_t, new_r = vid_source.get_indexed_luminance_block(blk)
+                    if b < B:
+                        # Pad the tail block by repeating the last frame so every
+                        # block compiles to the same shape; the extra outputs are
+                        # discarded below.  (_enc is applied inside the step fn.)
+                        rep = jnp.repeat(new_t[-1:], B - b, axis=0)
+                        new_t = jnp.concatenate([new_t, rep], axis=0)
+                        new_r = jnp.concatenate([new_r, jnp.repeat(new_r[-1:], B - b,
+                                                                   axis=0)], axis=0)
+                    if pass_gaze:
+                        gaze = self._gaze_for_frames(fixation_point, pos, b, N_frames)
+                        if b < B:
+                            gaze = np.concatenate(
+                                [gaze, np.repeat(gaze[-1:], B - b, axis=0)], axis=0)
+                        Q_blk, heat, carry_t, carry_r = fn(
+                            carry_t, carry_r, new_t, new_r, jnp.asarray(gaze))
+                    else:
+                        Q_blk, heat, carry_t, carry_r = fn(
+                            carry_t, carry_r, new_t, new_r)
+
+                    pending.append((pos, b, Q_blk, heat))
+                    # pipeline depth 2: the device stays >= 1 full block ahead of
+                    # the blocking host read-back
+                    while len(pending) > 2:
                         self._drain_block(pending.pop(0), Q_per_ch,
                                           heatmap_frames, heat_dev_blocks)
-                    self._save_checkpoint(checkpoint_path, fingerprint, pos,
-                                          Q_per_ch, carry_t, carry_r)
-            while pending:
-                self._drain_block(pending.pop(0), Q_per_ch, heatmap_frames,
-                                  heat_dev_blocks)
-            if checkpoint_path and os.path.isfile(checkpoint_path):
-                os.remove(checkpoint_path)
+                    pos += b
+                    blocks_done += 1
+                    if checkpoint_path and pos < N_frames \
+                            and blocks_done % max(1, checkpoint_every) == 0:
+                        while pending:  # Q values up to pos must be final on host
+                            self._drain_block(pending.pop(0), Q_per_ch,
+                                              heatmap_frames, heat_dev_blocks)
+                        self._save_checkpoint(checkpoint_path, fingerprint, pos,
+                                              Q_per_ch, carry_t, carry_r)
+                while pending:
+                    self._drain_block(pending.pop(0), Q_per_ch, heatmap_frames,
+                                      heat_dev_blocks)
+                if checkpoint_path and os.path.isfile(checkpoint_path):
+                    os.remove(checkpoint_path)
 
         Q_jod = self.do_pooling_and_jods(jnp.asarray(Q_per_ch))
 
@@ -501,6 +508,59 @@ class fvvdp:
                 heat_np = np.asarray(heat)
                 for i in range(b):
                     heatmap_frames[pos + i] = heat_np[i]
+
+    # ------------------------------------------------------------------
+    # one-dispatch whole-video scoring (device-resident sources)
+    # ------------------------------------------------------------------
+    _SCAN_MAX_BYTES_DEFAULT = 6 << 30
+
+    def _try_scan_video(self, vid_source, core, filt, fl, B, pad_idx,
+                        stream_idx, Q_per_ch, static_gaze, fixation_point,
+                        pass_gaze, log_c, N_frames, height, width):
+        """Score the whole video in ONE device dispatch when it is safe to.
+
+        Engages when the source's luminance blocks are pure device-side
+        slices (so streaming's pipelining has no host work left to hide), no
+        heatmap/checkpoint per-block readback is needed, and the padded fp32
+        luminance pair fits the HBM budget ($FVVDP_SCAN_MAX_BYTES, default
+        6 GiB).  Fills ``Q_per_ch`` and returns True, or returns False to
+        fall back to the pipelined streaming loop.  The scan body is the
+        streaming step itself (core.video_scan_fn), so both paths compute
+        identical numerics; what the scan removes is the per-block dispatch
+        round-trip, which dominates on slow transports.  Set
+        FVVDP_DISABLE_SCAN=1 to force the streaming loop.
+        """
+        if self.do_heatmap or not vid_source.luminance_is_device_resident():
+            return False
+        if os.environ.get("FVVDP_DISABLE_SCAN", "") == "1":
+            return False
+        n_blocks = -(-N_frames // B)
+        total = n_blocks * B
+        budget = int(os.environ.get("FVVDP_SCAN_MAX_BYTES",
+                                    self._SCAN_MAX_BYTES_DEFAULT))
+        if (total + fl - 1) * height * width * 4 * 2 > budget:
+            return False
+        # padded source schedule: fl-1 warm-up frames + the per-output-frame
+        # stream order + the last frame repeated out to a whole block (the
+        # tail outputs are sliced away; the temporal window is causal, so
+        # they cannot influence the kept frames)
+        full_idx = np.concatenate(
+            [pad_idx, np.repeat(stream_idx[-1:], total - N_frames)])
+        T_pad, R_pad = vid_source.get_indexed_luminance_block(full_idx)
+        fn = core.video_scan_fn(filt, B, static_gaze=static_gaze,
+                                log_contrast=log_c)
+        if pass_gaze:
+            gaze = self._gaze_for_frames(fixation_point, 0, N_frames, N_frames)
+            if total > N_frames:
+                gaze = np.concatenate(
+                    [gaze, np.repeat(gaze[-1:], total - N_frames, axis=0)])
+            Q_all = fn(T_pad, R_pad,
+                       jnp.asarray(gaze.reshape(n_blocks, B, 2)))
+        else:
+            Q_all = fn(T_pad, R_pad)
+        Q_per_ch[:] = np.asarray(Q_all)[:, :, :N_frames]
+        self._exec_path = "scan"
+        return True
 
     def _gaze_for_frames(self, fixation_point: np.ndarray, start: int, count: int,
                          n_frames: int) -> np.ndarray:

@@ -199,6 +199,13 @@ class fvvdp_video_source(ABC):
         random access."""
         return True
 
+    def luminance_is_device_resident(self) -> bool:
+        """True when :meth:`get_luminance_block` is a pure device-side slice
+        (no host transfer per block).  Gates the one-dispatch whole-video
+        scan path: sources that decode or upload per block keep the streaming
+        loop, whose pipelining exists to hide exactly that host work."""
+        return False
+
     # -- blocked access (the TPU fast path) ---------------------------------
     def get_luminance_block(self, start: int, count: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """(test, reference) luminance blocks of shape (count, H, W).
@@ -324,6 +331,9 @@ class fvvdp_video_source_array(fvvdp_video_source_dm):
             <= self.DEVICE_PRELOAD_LIMIT_BYTES)
 
     DEVICE_PRELOAD_LIMIT_BYTES = 4_000_000_000
+
+    def luminance_is_device_resident(self):
+        return self._preload_device
 
     def get_frames_per_second(self):
         return self.fps

@@ -46,7 +46,10 @@ def _content():
     return tst, ref
 
 
-def test_resume_after_crash(tmp_path):
+def test_resume_after_crash(tmp_path, monkeypatch):
+    # checkpointed runs always stream; keep the uncheckpointed baseline on
+    # the same path (the scan path re-fuses reductions, wiggling last bits)
+    monkeypatch.setenv("FVVDP_DISABLE_SCAN", "1")
     tst, ref = _content()
     ckpt = str(tmp_path / "score.ckpt")
     fv = fvvdp(display_name="standard_fhd", block_frames=4)
