@@ -9,7 +9,14 @@ Methodology matches the reference's own benchmark harness
 metric computation is timed): the video source is constructed once — its
 display-encoded uint8 frames live in HBM — and scoring (EOTF, temporal
 channels, pyramid, CSF, masking, pooling) is timed end-to-end over it.
-Ancillary numbers (first-call compile, per-image latency) go to stderr.
+Ancillary numbers (first-call compile, warm-cache latency, per-image
+latency) go to stderr.
+
+Perf and parity are inseparable: before the throughput line is printed, the
+scored JODs are checked against golden values (the README-published
+wavy_facade numbers when the media is present, plus a pinned value for the
+synthetic clip) and the benchmark EXITS NON-ZERO on |dJOD| > 0.01 — a kernel
+optimisation that drifts the metric can never post a green perf number.
 """
 import json
 import os
@@ -18,6 +25,15 @@ import sys
 import time
 
 import numpy as np
+
+# parity goldens: README.md:137-138 published JODs for wavy_facade on
+# standard_4k, and the synthetic-clip JOD pinned from the round-2/3 hardware
+# runs (TPU Pallas path; the jnp/CPU path agrees within the tolerance)
+GOLDEN_WAVY_NOISE = 9.537
+GOLDEN_WAVY_BLUR = 8.693
+GOLDEN_SYNTH_Q = 9.769
+JOD_TOL = 0.01
+WAVY = "/root/reference/example_media/wavy_facade.png"
 
 
 def wait_for_backend(attempts=8, probe_timeout=90, retry_sleep=60):
@@ -62,6 +78,42 @@ def wait_for_backend(attempts=8, probe_timeout=90, retry_sleep=60):
                      "not starting the benchmark against a wedged device")
 
 
+def check_parity(failures):
+    """README-published wavy_facade JODs on the device under benchmark.
+    Appends human-readable failure strings to ``failures``."""
+    if not os.path.isfile(WAVY):
+        print("# parity: wavy_facade media absent, README goldens skipped",
+              file=sys.stderr)
+        return
+    try:
+        from scipy.ndimage import gaussian_filter
+    except ImportError:
+        print("# parity: scipy absent, README goldens skipped",
+              file=sys.stderr)
+        return
+    import fovvideovdp_tpu as fv_tpu
+
+    I = fv_tpu.load_image_as_array(WAVY)
+    rng = np.random.RandomState(42)
+    noise = (np.clip(I / 65535.0 + rng.randn(*I.shape) * np.sqrt(0.003),
+                     0, 1) * 65535).astype(np.uint16)
+    blur = np.stack([gaussian_filter(I[:, :, c].astype(np.float32), 2,
+                                     mode="nearest", truncate=2.0)
+                     for c in range(3)], -1).astype(np.uint16)
+    fv = fv_tpu.fvvdp(display_name="standard_4k")
+    Q_noise, _ = fv.predict(noise, I, dim_order="HWC")
+    Q_blur, _ = fv.predict(blur, I, dim_order="HWC")
+    print(f"# parity: wavy_facade noise {Q_noise:.4f} (golden "
+          f"{GOLDEN_WAVY_NOISE}) | blur {Q_blur:.4f} (golden "
+          f"{GOLDEN_WAVY_BLUR})", file=sys.stderr)
+    if abs(Q_noise - GOLDEN_WAVY_NOISE) > JOD_TOL:
+        failures.append(f"wavy_facade noise JOD {Q_noise:.4f} vs "
+                        f"{GOLDEN_WAVY_NOISE} (|d| > {JOD_TOL})")
+    if abs(Q_blur - GOLDEN_WAVY_BLUR) > JOD_TOL:
+        failures.append(f"wavy_facade blur JOD {Q_blur:.4f} vs "
+                        f"{GOLDEN_WAVY_BLUR} (|d| > {JOD_TOL})")
+
+
 def main():
     wait_for_backend()
     import jax
@@ -84,15 +136,17 @@ def main():
     vs = fvvdp_video_source_array(test_v, ref_v, fps, dim_order="HWCF",
                                   display_photometry=fv.display_photometry)
 
-    # warm-up: compiles + uploads the source to HBM
+    # warm-up: compiles + uploads the source to HBM (first-call latency is a
+    # tracked number — the scan-chunk ladder bounds it: one compile per
+    # ladder rung serves every video length)
     t0 = time.time()
-    Q, _ = fv.predict_video_source(vs)
+    Q_video, _ = fv.predict_video_source(vs)
     compile_s = time.time() - t0
 
     best = None
     for _ in range(3):
         t0 = time.time()
-        Q, _ = fv.predict_video_source(vs)
+        Q_video, _ = fv.predict_video_source(vs)
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
     fps_throughput = n_frames / best
@@ -118,17 +172,30 @@ def main():
     fv.predict(img_t, img_r, dim_order="HWCF")
     img_cold_ms = (time.time() - t0) * 1000
 
+    # parity gate: the throughput number is only published if the JODs are
+    # right (bench exits non-zero on |dJOD| > JOD_TOL)
+    failures = []
+    if abs(Q_video - GOLDEN_SYNTH_Q) > JOD_TOL:
+        failures.append(f"synthetic 4K clip JOD {Q_video:.4f} vs pinned "
+                        f"{GOLDEN_SYNTH_Q} (|d| > {JOD_TOL})")
+    check_parity(failures)
+
+    print(f"# first-call (compile+upload) {compile_s:.1f}s | warm-cache "
+          f"60-frame 4K video {best:.2f}s ({fps_throughput:.1f} fps) | 4K "
+          f"image pair {img_ms:.0f} ms device-resident / {img_cold_ms:.0f} ms "
+          f"cold incl. transfer | Q={Q_video:.4f} | device "
+          f"{jax.devices()[0].device_kind}", file=sys.stderr)
+    if failures:
+        for f in failures:
+            print(f"# PARITY FAILURE: {f}", file=sys.stderr)
+        raise SystemExit("benchmark aborted: JOD parity drifted — a perf "
+                         "number for wrong numerics is meaningless")
     print(json.dumps({
         "metric": "4k_video_fps_per_chip",
         "value": round(fps_throughput, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps_throughput / 30.0, 3),
     }))
-    print(f"# first-call (compile+upload) {compile_s:.1f}s | 60-frame 4K video "
-          f"{best:.2f}s ({fps_throughput:.1f} fps) | 4K image pair "
-          f"{img_ms:.0f} ms device-resident / {img_cold_ms:.0f} ms cold incl. "
-          f"transfer | Q={Q:.3f} | device {jax.devices()[0].device_kind}",
-          file=sys.stderr)
 
 
 if __name__ == "__main__":

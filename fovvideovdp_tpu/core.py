@@ -65,6 +65,7 @@ class MetricCore:
                                         "min_mutual_masking_perc_norm2")
         self._fn_cache: Dict = {}
         self._fov_table_cache: Dict = {}  # insertion-ordered dict as LRU
+        self._mov_cache: Dict = {}  # per-band static data, moving-gaze path
         # Both shipped LUTs (omega = 0/5 Hz) share one Y grid, letting the
         # fused kernel score both temporal channels in a single pass.
         self._luts_share_Y = (
@@ -181,6 +182,67 @@ class MetricCore:
             jax.block_until_ready(tabs)
             self._fov_table_cache[key] = tabs
         return self._fov_table_cache[key]
+
+    # -- moving-gaze foveated fast path ---------------------------------------
+    def _moving_band_data(self, bb: int):
+        """Static per-band data for the fused moving-gaze path: the LUT
+        sliced to the band's reachable rho knots and the display's
+        weightable Y knots, laid out for the per-frame ecc collapse (one
+        (pixels, n_e) x (n_e, n_y*n_r) matmul per frame), plus the static
+        per-pixel rho weights.  The omega=5 LUT reduces to a scalar log2-S
+        offset when the temporal modulation factors out of the Daly CSF
+        (true for the shipped calibration pair)."""
+        if bb in self._mov_cache:
+            return self._mov_cache[bb]
+        lut = self.luts[0]
+        n = np.asarray(lut["S_log"]).shape[0]
+        r_lo, r_hi, w_r = csf_mod.rho_window_weights(
+            lut, np.asarray(self._band_rho[bb]))
+        y_lo, y_hi = self._fov_trim if self._fov_trim is not None \
+            else (0, n - 1)
+        S0 = np.asarray(lut["S_log"])[y_lo:y_hi + 1, r_lo:r_hi + 1, :]
+        S5 = np.asarray(self.luts[1]["S_log"])[y_lo:y_hi + 1,
+                                               r_lo:r_hi + 1, :]
+        ny, nr, ne = S0.shape
+        diff = S5 - S0
+        off5 = float(diff.ravel()[0]) if np.ptp(diff) <= 2e-5 else None
+        data = {
+            "V2": jnp.asarray(S0.reshape(ny * nr, ne).T.copy()),
+            "V2_5": None if off5 is not None
+            else jnp.asarray(S5.reshape(ny * nr, ne).T.copy()),
+            "off5": off5,
+            "w_r": jnp.asarray(w_r.reshape(-1, nr)),  # (pixels, n_r)
+            "ny": ny, "nr": nr,
+        }
+        self._mov_cache[bb] = data
+        return data
+
+    def _mov_tables_for_frame(self, bb: int, ecc: jnp.ndarray):
+        """One frame's per-pixel S_log(Y_log) tables (both temporal
+        channels) from its eccentricity map — the moving-gaze analogue of
+        :meth:`fov_tables`, cheap enough to run per frame: the ecc axis
+        collapses in one MXU matmul against the windowed LUT and the static
+        rho weights finish the trilinear.  Exactly equal (associativity of
+        linear interpolation) to csf.sensitivity_trilinear_block's collapse.
+        """
+        d = self._moving_band_data(bb)
+        h, w = ecc.shape
+        lut = self.luts[0]
+        w_e = csf_mod.ecc_weights(lut, ecc.reshape(-1))      # (p, n_e)
+        B = jnp.matmul(w_e, d["V2"],
+                       precision=csf_mod._PREC)              # (p, ny*nr)
+        B = B.reshape(-1, d["ny"], d["nr"])
+        T = jnp.einsum("pyr,pr->py", B, d["w_r"],
+                       precision=csf_mod._PREC)              # (p, ny)
+        tab_s = jnp.moveaxis(T.reshape(h, w, d["ny"]), -1, 0)
+        if d["off5"] is not None:
+            tab_t = tab_s + d["off5"]
+        else:
+            B5 = jnp.matmul(w_e, d["V2_5"], precision=csf_mod._PREC)
+            T5 = jnp.einsum("pyr,pr->py", B5.reshape(-1, d["ny"], d["nr"]),
+                            d["w_r"], precision=csf_mod._PREC)
+            tab_t = jnp.moveaxis(T5.reshape(h, w, d["ny"]), -1, 0)
+        return tab_s, tab_t
 
     # -- local adaptation / contrast variants --------------------------------
     def _score_frames_fused(self, R: jnp.ndarray, sens_corr: float
@@ -329,6 +391,16 @@ class MetricCore:
         # fixed-gaze foveated: per-pixel CSF tables feed the fused scorer
         fov_fused = (fused_base and self.foveated and fov_tables is not None
                      and self._luts_share_Y and self.local_adapt == "gpyr")
+        # moving-gaze foveated: per-FRAME per-pixel tables (MXU collapse of
+        # the windowed LUT) feed the same fused scorer under a scan over
+        # frames, replacing the block-amortised jnp trilinear
+        mov_fused = (fused_base and self.foveated and fov_tables is None
+                     and gaze is not None and self._luts_share_Y
+                     and self.local_adapt == "gpyr"
+                     and self.content_mapping is None
+                     and all(csf_mod._axis_uniform(l, ax)
+                             for l in self.luts
+                             for ax in ("rho_log", "ecc_sqrt")))
         if (fused_common and temp_ch in (1, 2) and self._luts_share_Y
                 and self.local_adapt == "gpyr"):
             if temp_ch == 1:
@@ -382,6 +454,36 @@ class MetricCore:
 
             Q_cc = []
             D_acc = None
+            if mov_fused and is_contrast:
+                from fovvideovdp_tpu.ops.pallas import band_score as bs
+                if bs.supports(h, w):
+                    if temp_ch == 1:
+                        zb = jnp.zeros_like(band[:, 0])
+                        b4 = jnp.stack([band[:, 0], band[:, 1], zb, zb],
+                                       axis=1)
+                    else:
+                        b4 = band
+                    vd = self._band_view_dir[bb]          # (2, h, w)
+                    kern_lut = self._fov_lut or self.luts[0]
+
+                    def mov_body(_, xs, bb=bb, vd=vd, kern_lut=kern_lut):
+                        b4_f, L_f, g_f = xs   # (4,h,w), (h,w), (2,)
+                        ecc_f = jnp.sqrt(jnp.sum(
+                            (vd - g_f[:, None, None]) ** 2, axis=0))
+                        tab_s, tab_t = self._mov_tables_for_frame(bb, ecc_f)
+                        ss = bs.band_score2_fov_pallas(
+                            b4_f[None], L_f[None], tab_s, tab_t, kern_lut,
+                            p["mask_p"], p["mask_q_sust"], p["mask_q_trans"],
+                            p["mask_c"], sens_corr, p["beta"])
+                        return 0, ss[0]                   # (2,)
+
+                    _, ssum2 = jax.lax.scan(
+                        mov_body, 0,
+                        (b4, L_bkg, jnp.transpose(gaze_dir)))  # (F, 2)
+                    inv_norm = float(npix) ** (1.0 / p["beta"])
+                    Q_rows.append(jnp.transpose(
+                        jnp.power(ssum2, 1.0 / p["beta"]) / inv_norm))
+                    continue
             if fov_fused and is_contrast:
                 from fovvideovdp_tpu.ops.pallas import band_score as bs
                 if bs.supports(h, w):
@@ -683,46 +785,48 @@ class MetricCore:
         return step
 
     def video_scan_fn(self, filt: np.ndarray, block_frames: int,
-                      static_gaze=None, log_contrast: bool = False):
-        """Whole-video scorer in ONE dispatch: ``lax.scan`` over frame blocks.
+                      chunk_blocks: int, static_gaze=None,
+                      log_contrast: bool = False):
+        """Multi-block scorer in ONE dispatch: ``lax.scan`` over frame blocks.
 
         For device-resident sources the streaming loop's per-block host
-        dispatches (and their transport round-trips) are pure overhead — the
-        entire blocked schedule compiles into a single XLA program whose scan
-        body IS the streaming step (:meth:`_video_step`), so the numerics
-        match the streaming path exactly.  Heatmaps keep the streaming path:
-        their per-block readback is the point of streaming.
+        dispatches (and their transport round-trips) are pure overhead — a
+        CHUNK of ``chunk_blocks`` blocks compiles into a single XLA program
+        whose scan body IS the streaming step (:meth:`_video_step`), so the
+        numerics match the streaming path exactly.  The temporal carry is an
+        explicit argument/result, so the caller chains chunks of a small
+        fixed ladder of sizes to cover any video length — one compile per
+        ladder rung serves every duration (a whole-video scan would
+        re-specialise per length: n_blocks is a shape).  Heatmaps keep the
+        streaming path: their per-block readback is the point of streaming.
 
-        fn(padded_t, padded_r [, gaze (n_blocks, B, 2)]) with ``padded_*`` =
-        (n_blocks*B + fl - 1, H, W) luminance (prefix = the fl-1 temporal
-        padding frames, tail = repeated last frame up to a whole block) ->
-        Q_per_ch (n_bands, 2, n_blocks*B).  The cached jit re-specialises per
-        video length (n_blocks is a shape).
+        fn(carry_t, carry_r, chunk_t, chunk_r [, gaze (chunk_blocks, B, 2)])
+        with ``carry_*`` = the fl-1 trailing frames of the preceding chunk
+        (log-encoded already when ``log_contrast``) and ``chunk_*`` =
+        (chunk_blocks*B, H, W) raw luminance ->
+        (Q_per_ch (n_bands, 2, chunk_blocks*B), carry_t', carry_r').
         """
         if self.heatmap is not None:
             raise RuntimeError("the scan path scores without heatmaps; "
                                "use the streaming path")
         tables = self._static_fov_tables(static_gaze)
-        key = ("videoscan", filt.shape[1], block_frames, self.foveated,
-               filt.tobytes(), tables is not None, log_contrast)
+        key = ("videoscan", filt.shape[1], block_frames, chunk_blocks,
+               self.foveated, filt.tobytes(), tables is not None,
+               log_contrast)
         if key not in self._fn_cache:
             filt_np = np.asarray(filt, dtype=np.float32)
             gaze_in_sig = self.foveated and tables is None
             use_tables = tables is not None
             fl = filt_np.shape[1]
             B = block_frames
+            K = chunk_blocks
             step = self._video_step(filt_np, gaze_in_sig, use_tables,
                                     log_contrast)
 
-            def enc(x):
-                return jnp.log10(jnp.clip(x, 1e-6, None)) if log_contrast else x
-
-            def fn(padded_t, padded_r, *extra):
-                n_blocks = (padded_t.shape[0] - (fl - 1)) // B
-                carry = (enc(padded_t[:fl - 1]), enc(padded_r[:fl - 1]))
-                sp = padded_t.shape[1:]
-                blocks_t = padded_t[fl - 1:].reshape((n_blocks, B) + sp)
-                blocks_r = padded_r[fl - 1:].reshape((n_blocks, B) + sp)
+            def fn(carry_t, carry_r, chunk_t, chunk_r, *extra):
+                sp = chunk_t.shape[1:]
+                blocks_t = chunk_t.reshape((K, B) + sp)
+                blocks_r = chunk_r.reshape((K, B) + sp)
                 tabs = extra[0] if use_tables else None
 
                 def body(c, xs):
@@ -740,13 +844,13 @@ class MetricCore:
                 xs = (blocks_t, blocks_r)
                 if gaze_in_sig:
                     xs = xs + (extra[0],)
-                _, Qs = jax.lax.scan(body, carry, xs)
-                # (n_blocks, n_bands, 2, B) -> (n_bands, 2, n_blocks*B)
+                (ct, cr), Qs = jax.lax.scan(body, (carry_t, carry_r), xs)
+                # (K, n_bands, 2, B) -> (n_bands, 2, K*B)
                 return jnp.transpose(Qs, (1, 2, 0, 3)).reshape(
-                    Qs.shape[1], 2, n_blocks * B)
+                    Qs.shape[1], 2, K * B), ct, cr
 
             self._fn_cache[key] = jax.jit(fn)
         jitted = self._fn_cache[key]
         if tables is not None:
-            return lambda pt, pr: jitted(pt, pr, tables)
+            return lambda ct, cr, pt, pr: jitted(ct, cr, pt, pr, tables)
         return jitted

@@ -235,6 +235,60 @@ def trim_lut_range(tables, lut: Dict, lbkg_min: float = 0.1,
     return np.asarray(tables)[..., lo:hi + 1], lut2
 
 
+def rho_window_weights(lut: Dict, rho_map: np.ndarray):
+    """Static per-band rho-axis preparation for the per-frame (moving-gaze)
+    table collapse.
+
+    A band's per-pixel spatial frequencies rho_band * res_mag(pixel) span
+    only a small slice of the rho grid (log2 spacing ~0.39 octaves; the
+    resolution magnification is a modest factor), so the per-frame collapse
+    can run against a window of a few knots instead of all 32.  Returns
+    ``(r_lo, r_hi, w_r)`` where ``w_r`` (h, w, r_hi-r_lo+1) holds exactly the
+    reference 2-point interpolation weights (semantics of
+    pyfvvdp/interp.py:11-20, as in :func:`_grid_weights`) restricted to the
+    window — terms outside it have exactly zero weight, so the windowed
+    contraction equals the full one.
+    """
+    # float32 throughout — bit-matches the traced _grid_weights computation
+    grid = np.asarray(lut["rho_log"], np.float32)
+    n = grid.shape[0]
+    q = np.log2(np.clip(np.asarray(rho_map, np.float32),
+                        np.float32(np.asarray(lut["rho"])[0]),
+                        np.float32(np.asarray(lut["rho"])[-1])))
+    shape = q.shape
+    q = q.reshape(-1)
+    if _axis_uniform(lut, "rho_log"):
+        x0 = grid[0]
+        dx = np.float32((grid[-1] - grid[0]) / np.float32(n - 1))
+        u = np.clip((q - x0) / dx, np.float32(0.0), np.float32(n - 1))
+        i_lo = np.floor(u).astype(np.int64)
+        f = (u - i_lo).astype(np.float32)
+        i_hi = np.minimum(i_lo + 1, n - 1)
+    else:
+        i_hi = np.minimum(np.sum(grid[None, :] < q[:, None], axis=-1), n - 1)
+        i_lo = np.clip(i_hi - 1, 0, n - 1)
+        x_lo, x_hi = grid[i_lo], grid[i_hi]
+        f = ((q - x_lo) / (x_hi - x_lo + np.float32(1e-6))).astype(np.float32)
+        f = np.where((i_hi == i_lo) | (f < 0.0), 0.0, f).astype(np.float32)
+    r_lo = int(i_lo.min())
+    r_hi = int(i_hi.max())
+    n_r = r_hi - r_lo + 1
+    w_r = np.zeros((q.shape[0], n_r), np.float32)
+    np.put_along_axis(w_r, (i_lo - r_lo)[:, None], (1.0 - f)[:, None], 1)
+    # i_hi == i_lo at the clamped top end: accumulate, don't overwrite
+    hi_w = np.take_along_axis(w_r, (i_hi - r_lo)[:, None], 1) \
+        + np.where(i_hi == i_lo, 0.0, f)[:, None]
+    np.put_along_axis(w_r, (i_hi - r_lo)[:, None], hi_w, 1)
+    return r_lo, r_hi, w_r.reshape(shape + (n_r,))
+
+
+def ecc_weights(lut: Dict, ecc):
+    """Per-pixel 2-point interpolation weights along the ecc axis (n_e wide),
+    with the reference clamp semantics."""
+    ecc_q = jnp.sqrt(jnp.clip(ecc, lut["ecc"][0], lut["ecc"][-1]))
+    return _grid_weights(ecc_q, lut["ecc_sqrt"], _axis_uniform(lut, "ecc_sqrt"))
+
+
 def reduce_lut_to_pixel_tables(lut: Dict[str, jnp.ndarray], rho, ecc):
     """Collapse the 3-D LUT over its (rho, ecc) axes with PER-PIXEL static
     maps -> (n, h, w) plane-major S_log(Y_log) tables.

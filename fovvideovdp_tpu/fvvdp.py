@@ -47,6 +47,20 @@ _BLOCK_PIXEL_BUDGET = 2.5e8
 _MAX_BLOCK_FRAMES = 32
 
 
+def _env_bytes(name: str, default: int) -> int:
+    """Byte-count env override; malformed values fall back to the default
+    with a warning instead of crashing the scoring call."""
+    raw = os.environ.get(name)
+    if raw is None or not raw.strip():
+        return int(default)
+    try:
+        return int(raw)
+    except ValueError:
+        logging.warning(f"ignoring malformed {name}={raw!r}; "
+                        f"using the default {default}")
+        return int(default)
+
+
 class fvvdp:
     """Full-reference foveated video/image quality metric (JOD units)."""
 
@@ -230,6 +244,13 @@ class fvvdp:
         if fixation_point is None:
             fixation_point = np.array([width // 2, height // 2])
         fixation_point = np.asarray(fixation_point, dtype=np.float32)
+        if fixation_point.ndim == 2 and fixation_point.shape[0] < N_frames:
+            # caught here once: downstream the short trajectory would fail
+            # with an opaque reshape/shape error deep inside the jitted path
+            raise RuntimeError(
+                f"fixation_point has {fixation_point.shape[0]} per-frame "
+                f"rows but the video has {N_frames} frames; pass one (x, y) "
+                f"point or at least one row per frame")
         # A non-moving fixation point lets the foveated CSF collapse to
         # per-pixel luminance tables computed once per video (core.fov_tables)
         static_gaze = None
@@ -257,6 +278,10 @@ class fvvdp:
         if checkpoint_path and (is_image or not self.do_temporal_channels):
             logging.warning("checkpoint_path applies to the streaming video "
                             "path only; ignored for this input")
+        if self.do_heatmap and self.device_heatmap:
+            self._check_device_heatmap_budget(N_frames, height, width)
+        self._exec_path = "image" if is_image else \
+            ("ablation" if not self.do_temporal_channels else "stream")
         if is_image:
             t, r = vid_source.get_luminance_block(0, 1)
             t, r = _enc(t), _enc(r)
@@ -266,9 +291,13 @@ class fvvdp:
                 fn = self._get_sharded_fn(("image", core, mesh))
             else:
                 if mesh is not None:
-                    logging.warning("mesh is ignored for single foveated "
-                                    "images; use predict_batch for foveated "
-                                    "batches")
+                    # refusing beats a warning that silently drops all but
+                    # one of the requested devices (easy to miss in a batch
+                    # job that "works")
+                    raise RuntimeError(
+                        "predict(mesh=...) does not shard single foveated "
+                        "images; score it without a mesh, or shard many "
+                        "foveated images with predict_batch(mesh=...)")
                 fn = core.image_fn(static_gaze=static_gaze)
             if pass_gaze:
                 gaze = self._gaze_for_frames(fixation_point, 0, 1, N_frames)
@@ -285,8 +314,11 @@ class fvvdp:
             # Ablation: score every video frame as an independent image
             # (matlab/fvvdp_core.m:73,112).
             if mesh is not None:
-                logging.warning("mesh is ignored for the do_temporal_channels"
-                                "=False ablation path")
+                raise RuntimeError(
+                    "predict(mesh=...) does not shard the "
+                    "do_temporal_channels=False ablation path; run it "
+                    "without a mesh (a silent single-device fallback would "
+                    "waste the requested hardware)")
             B = self._pick_block_size(height, width, N_frames)
             Q_per_ch = np.zeros((plan.height, 2, N_frames), dtype=np.float32)
             fn = core.image_block_fn(static_gaze=static_gaze)
@@ -464,6 +496,24 @@ class fvvdp:
                 stats["heatmap"] = np.stack(heatmap_frames, axis=1)[None]
         return float(Q_jod), stats
 
+    # whole-video device heatmaps accumulate in HBM; refuse jobs that would
+    # OOM the chip mid-video instead of after minutes of scoring
+    _DEVICE_HEATMAP_MAX_BYTES_DEFAULT = 8 << 30
+
+    def _check_device_heatmap_budget(self, n_frames, height, width):
+        budget = _env_bytes("FVVDP_DEVICE_HEATMAP_MAX_BYTES",
+                            self._DEVICE_HEATMAP_MAX_BYTES_DEFAULT)
+        channels = 1 if self.heatmap == "raw" else 3
+        est = n_frames * channels * height * width * 2  # fp16
+        if est > budget:
+            raise RuntimeError(
+                f"device_heatmap=True would accumulate ~{est / 2**30:.1f} GiB "
+                f"of heatmap in device memory ({n_frames} frames x {channels} "
+                f"x {height}x{width} fp16), over the "
+                f"{budget / 2**30:.1f} GiB budget "
+                f"($FVVDP_DEVICE_HEATMAP_MAX_BYTES). Use device_heatmap="
+                f"False to stream heatmap frames to the host instead")
+
     @staticmethod
     def _load_checkpoint(path, fingerprint, Q_per_ch):
         """Resume streaming state saved by _save_checkpoint.  Returns
@@ -510,24 +560,36 @@ class fvvdp:
                     heatmap_frames[pos + i] = heat_np[i]
 
     # ------------------------------------------------------------------
-    # one-dispatch whole-video scoring (device-resident sources)
+    # chunked-scan whole-video scoring (device-resident sources)
     # ------------------------------------------------------------------
-    _SCAN_MAX_BYTES_DEFAULT = 6 << 30
+    # HBM budget for (padded fp32 luminance pair + the source's resident raw
+    # frames); per-chunk scan intermediates are roughly block-sized and
+    # length-independent, so the remaining headroom on a 16 GB chip covers
+    # them.  A RESOURCE_EXHAUSTED dispatch still falls back to streaming.
+    _SCAN_MAX_BYTES_DEFAULT = 11 << 30
+    # Scan chunk sizes in blocks, largest first.  Any video length decomposes
+    # into this ladder plus reuse, so at most len(ladder) scan programs are
+    # ever compiled per (resolution, B, config) — a whole-video scan would
+    # pay a fresh trace+compile for every distinct duration.
+    _SCAN_CHUNK_BLOCKS = (8, 2, 1)
 
     def _try_scan_video(self, vid_source, core, filt, fl, B, pad_idx,
                         stream_idx, Q_per_ch, static_gaze, fixation_point,
                         pass_gaze, log_c, N_frames, height, width):
-        """Score the whole video in ONE device dispatch when it is safe to.
+        """Score the video in a few chained scan dispatches when safe.
 
         Engages when the source's luminance blocks are pure device-side
         slices (so streaming's pipelining has no host work left to hide), no
         heatmap/checkpoint per-block readback is needed, and the padded fp32
-        luminance pair fits the HBM budget ($FVVDP_SCAN_MAX_BYTES, default
-        6 GiB).  Fills ``Q_per_ch`` and returns True, or returns False to
-        fall back to the pipelined streaming loop.  The scan body is the
-        streaming step itself (core.video_scan_fn), so both paths compute
-        identical numerics; what the scan removes is the per-block dispatch
-        round-trip, which dominates on slow transports.  Set
+        luminance pair plus the resident raw video fit the HBM budget
+        ($FVVDP_SCAN_MAX_BYTES).  Fills ``Q_per_ch`` and returns True, or
+        returns False to fall back to the pipelined streaming loop.  Each
+        chunk's scan body is the streaming step itself (core.video_scan_fn),
+        so both paths compute identical numerics; what the scan removes is
+        the per-block dispatch round-trip, which dominates on slow
+        transports.  Chunks come from the fixed ladder _SCAN_CHUNK_BLOCKS,
+        chained through the temporal carry, so a new video length never
+        compiles a new program once the ladder is warm.  Set
         FVVDP_DISABLE_SCAN=1 to force the streaming loop.
         """
         if self.do_heatmap or not vid_source.luminance_is_device_resident():
@@ -536,9 +598,11 @@ class fvvdp:
             return False
         n_blocks = -(-N_frames // B)
         total = n_blocks * B
-        budget = int(os.environ.get("FVVDP_SCAN_MAX_BYTES",
-                                    self._SCAN_MAX_BYTES_DEFAULT))
-        if (total + fl - 1) * height * width * 4 * 2 > budget:
+        budget = _env_bytes("FVVDP_SCAN_MAX_BYTES",
+                            self._SCAN_MAX_BYTES_DEFAULT)
+        resident = int(getattr(vid_source, "device_resident_bytes",
+                               lambda: 0)())
+        if (total + fl - 1) * height * width * 4 * 2 + resident > budget:
             return False
         # padded source schedule: fl-1 warm-up frames + the per-output-frame
         # stream order + the last frame repeated out to a whole block (the
@@ -546,19 +610,54 @@ class fvvdp:
         # they cannot influence the kept frames)
         full_idx = np.concatenate(
             [pad_idx, np.repeat(stream_idx[-1:], total - N_frames)])
-        T_pad, R_pad = vid_source.get_indexed_luminance_block(full_idx)
-        fn = core.video_scan_fn(filt, B, static_gaze=static_gaze,
-                                log_contrast=log_c)
+        gaze_all = None
         if pass_gaze:
             gaze = self._gaze_for_frames(fixation_point, 0, N_frames, N_frames)
             if total > N_frames:
                 gaze = np.concatenate(
                     [gaze, np.repeat(gaze[-1:], total - N_frames, axis=0)])
-            Q_all = fn(T_pad, R_pad,
-                       jnp.asarray(gaze.reshape(n_blocks, B, 2)))
-        else:
-            Q_all = fn(T_pad, R_pad)
-        Q_per_ch[:] = np.asarray(Q_all)[:, :, :N_frames]
+            gaze_all = gaze.reshape(n_blocks, B, 2)
+        # greedy ladder decomposition (ladder ends at 1, so rem reaches 0)
+        sched = []
+        rem = n_blocks
+        for k in self._SCAN_CHUNK_BLOCKS:
+            n, rem = divmod(rem, k)
+            sched.extend([k] * n)
+        try:
+            T_pad, R_pad = vid_source.get_indexed_luminance_block(full_idx)
+            if log_c:
+                carry_t = jnp.log10(jnp.clip(T_pad[:fl - 1], 1e-6, None))
+                carry_r = jnp.log10(jnp.clip(R_pad[:fl - 1], 1e-6, None))
+            else:
+                carry_t, carry_r = T_pad[:fl - 1], R_pad[:fl - 1]
+            Q_chunks = []
+            ofs = 0  # position in blocks
+            for k in sched:
+                fn = core.video_scan_fn(filt, B, k, static_gaze=static_gaze,
+                                        log_contrast=log_c)
+                lo = fl - 1 + ofs * B
+                hi = lo + k * B
+                if pass_gaze:
+                    Q_k, carry_t, carry_r = fn(
+                        carry_t, carry_r, T_pad[lo:hi], R_pad[lo:hi],
+                        jnp.asarray(gaze_all[ofs:ofs + k]))
+                else:
+                    Q_k, carry_t, carry_r = fn(carry_t, carry_r,
+                                               T_pad[lo:hi], R_pad[lo:hi])
+                Q_chunks.append(Q_k)
+                ofs += k
+            Q_all = Q_chunks[0] if len(Q_chunks) == 1 \
+                else jnp.concatenate(Q_chunks, axis=2)
+            Q_per_ch[:] = np.asarray(Q_all)[:, :, :N_frames]
+        except Exception as e:
+            # an HBM-oversubscribed dispatch must degrade to streaming, not
+            # kill the job: the budget above is an estimate, not a guarantee
+            if "RESOURCE_EXHAUSTED" not in str(e) \
+                    and "Resource exhausted" not in str(e):
+                raise
+            logging.warning(f"scan path exhausted device memory ({e}); "
+                            f"falling back to the streaming loop")
+            return False
         self._exec_path = "scan"
         return True
 

@@ -206,6 +206,12 @@ class fvvdp_video_source(ABC):
         loop, whose pipelining exists to hide exactly that host work."""
         return False
 
+    def device_resident_bytes(self) -> int:
+        """HBM the source itself keeps resident while it is scored (raw
+        preloaded frames); the scan path counts this against its memory
+        budget on top of the padded luminance pair."""
+        return 0
+
     # -- blocked access (the TPU fast path) ---------------------------------
     def get_luminance_block(self, start: int, count: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """(test, reference) luminance blocks of shape (count, H, W).
@@ -334,6 +340,11 @@ class fvvdp_video_source_array(fvvdp_video_source_dm):
 
     def luminance_is_device_resident(self):
         return self._preload_device
+
+    def device_resident_bytes(self):
+        if not self._preload_device:
+            return 0
+        return int(self._raw_test.nbytes) + int(self._raw_ref.nbytes)
 
     def get_frames_per_second(self):
         return self.fps

@@ -129,3 +129,44 @@ def test_checkpoint_rejects_heatmap(tmp_path):
                                   display_photometry=fv.display_photometry)
     with pytest.raises(RuntimeError, match="heatmap"):
         fv.predict_video_source(vs, checkpoint_path=str(tmp_path / "c"))
+
+
+@pytest.mark.slow
+def test_sigkill_and_resume_e2e(tmp_path):
+    """The feature's whole point, end to end: a scoring PROCESS is SIGKILLed
+    mid-video (no unwinding, no atexit — tests/_checkpoint_worker.py kills
+    itself after 3 block fetches), then a rerun resumes from the on-disk
+    checkpoint, skips the already-scored prefix, and lands on the same JOD
+    as an uninterrupted run."""
+    import subprocess
+    import sys
+
+    from conftest import cpu_subprocess_env
+    env = cpu_subprocess_env()
+    worker = os.path.join(os.path.dirname(__file__), "_checkpoint_worker.py")
+    ckpt = str(tmp_path / "kill.ckpt")
+
+    # 1. killed mid-video: exit by SIGKILL, checkpoint left behind
+    r1 = subprocess.run([sys.executable, worker, ckpt, "3"],
+                        capture_output=True, text=True, env=env, timeout=900)
+    assert r1.returncode == -9, (r1.returncode, r1.stderr[-2000:])
+    assert os.path.isfile(ckpt), "SIGKILL must leave the checkpoint on disk"
+
+    # 2. rerun resumes and completes
+    r2 = subprocess.run([sys.executable, worker, ckpt],
+                        capture_output=True, text=True, env=env, timeout=900)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    out = dict(line.split("=") for line in r2.stdout.split()
+               if "=" in line)
+    assert not os.path.isfile(ckpt), "checkpoint is removed on completion"
+
+    # 3. uninterrupted run for the ground-truth JOD (fresh ckpt path)
+    r3 = subprocess.run([sys.executable, worker, str(tmp_path / "clean.ckpt")],
+                        capture_output=True, text=True, env=env, timeout=900)
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    ref_out = dict(line.split("=") for line in r3.stdout.split()
+                   if "=" in line)
+    assert abs(float(out["FINAL_Q"]) - float(ref_out["FINAL_Q"])) < 1e-6
+    # the resumed run must have skipped the scored prefix: fewer fetches
+    # (probe + remaining blocks) than the clean run (probe + all 3 blocks)
+    assert int(out["FETCHES"]) < int(ref_out["FETCHES"])

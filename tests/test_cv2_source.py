@@ -115,6 +115,48 @@ def test_ferris_published_jods(name, published):
     assert abs(Q - published) <= 0.05, (name, Q, published)
 
 
+# ---------------------------------------------------------------------------
+# Decode-matched file-path parity at the 0.01 bar: the SAME cv2-decoded
+# frames were scored through the PyTorch reference (tools/gen_goldens.py
+# section 8b), so the comparison holds the decoder fixed and the 0.05
+# cross-decoder allowance is not needed.  Matches the reference pipeline
+# pyfvvdp/video_source_file.py:166-276 + fvvdp.py:181-357 end-to-end.
+# ---------------------------------------------------------------------------
+
+
+@needs_media
+def test_ferris_decode_matched_short(goldens):
+    """12-frame ferris clip through fvvdp_video_source_file vs the reference
+    scoring the identical decoded arrays: |dJOD| <= 0.01."""
+    from fovvideovdp_tpu import fvvdp
+    from fovvideovdp_tpu.video_source_file import fvvdp_video_source_file
+    g = goldens("ferris_cv2_short")
+    n = int(g["n_frames"])
+    fv = fvvdp(display_name="standard_fhd")
+    vs = fvvdp_video_source_file(TST, REF, display_photometry="standard_fhd",
+                                 frames=n)
+    Q, st = fv.predict_video_source(vs)
+    assert abs(Q - float(g["Q_jod"])) <= 0.01, (Q, float(g["Q_jod"]))
+    # per-band features should agree tightly too, not just the pooled JOD
+    np.testing.assert_allclose(st["Q_per_ch"], g["Q_per_ch"],
+                               rtol=2e-3, atol=2e-4)
+
+
+@needs_media
+@pytest.mark.slow
+@pytest.mark.skipif(not _run_full, reason="60-frame ferris scoring; set "
+                    "FVVDP_TEST_MEDIA=1 (CPU) or run `pytest -m tpu`")
+def test_ferris_decode_matched_full(goldens):
+    """Full 60-frame clip at the same 0.01 decode-matched bar."""
+    from fovvideovdp_tpu import fvvdp
+    from fovvideovdp_tpu.video_source_file import fvvdp_video_source_file
+    g = goldens("ferris_cv2_full")
+    fv = fvvdp(display_name="standard_fhd")
+    vs = fvvdp_video_source_file(TST, REF, display_photometry="standard_fhd")
+    Q, _ = fv.predict_video_source(vs)
+    assert abs(Q - float(g["Q_jod"])) <= 0.01, (Q, float(g["Q_jod"]))
+
+
 def test_np2vid_cv2_roundtrip(tmp_path, monkeypatch):
     """Video heatmap write-out works without the ffmpeg binary (OpenCV
     encoder) and the file decodes back with the right geometry."""

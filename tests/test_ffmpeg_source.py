@@ -68,6 +68,51 @@ def _make_video(tmp_path, name, seed, gray=False, probe_overrides=None):
     return str(path), frames
 
 
+def _make_video_fmt(tmp_path, name, seed, pix_fmt, gray=False):
+    """Raw planar video in an arbitrary pix_fmt (420/444, 8/10/12-bit) plus
+    its ffprobe sidecar; returns (path, frames [(Y, u, v) int arrays])."""
+    rng = np.random.RandomState(seed)
+    bits = 8 if "p1" not in pix_fmt else int(pix_fmt.split("p")[1][:2])
+    ss = "444" if "444" in pix_fmt else "420"
+    dt = np.uint8 if bits == 8 else np.uint16
+    d = 2 ** (bits - 8)
+    uv_shape = (H, W) if ss == "444" else (H // 2, W // 2)
+    frames, planes = [], []
+    for _ in range(F):
+        Y = rng.randint(16 * d, 236 * d, (H, W)).astype(dt)
+        if gray:
+            u = np.full(uv_shape, 128 * d, dtype=dt)
+            v = np.full(uv_shape, 128 * d, dtype=dt)
+        else:
+            u = rng.randint(16 * d, 241 * d, uv_shape).astype(dt)
+            v = rng.randint(16 * d, 241 * d, uv_shape).astype(dt)
+        frames.append((Y, u, v))
+        planes += [Y.tobytes(), u.tobytes(), v.tobytes()]  # LE on x86
+    path = tmp_path / f"{name}.mp4"
+    path.write_bytes(b"".join(planes))
+    probe = {"streams": [{"codec_type": "video", "width": W, "height": H,
+                          "pix_fmt": pix_fmt, "nb_frames": str(F),
+                          "r_frame_rate": "30/1"}]}
+    (tmp_path / f"{name}.mp4.probe.json").write_text(json.dumps(probe))
+    return str(path), frames
+
+
+def _host_yuv_to_rgb(Y, u, v, bits):
+    """Independent host-side reference conversion (the reference's
+    _fixed2float_upscale math, pyfvvdp/video_source_file.py:253-276):
+    limited-range fixed-point scaling + the BT.709-path matrix."""
+    d = 2.0 ** (bits - 8)
+    Yf = np.clip(Y.astype(np.float64) / (d * 219.0) - 16.0 / 219.0, 0, 1)
+    uf = np.clip(u.astype(np.float64) / (d * 224.0) - 128.0 / 224.0, -.5, .5)
+    vf = np.clip(v.astype(np.float64) / (d * 224.0) - 128.0 / 224.0, -.5, .5)
+    M = np.array([[1.0, 0.0, 1.402],
+                  [1.0, -0.344136, -0.714136],
+                  [1.0, 1.772, 0.0]])
+    # both pipelines clip display-encoded RGB to [0, 1] (reference
+    # video_source_file.py:244)
+    return np.clip(np.stack([Yf, uf, vf], -1) @ M.T, 0.0, 1.0)
+
+
 def test_streaming_matches_preload_and_scores(fake_ffmpeg):
     from fovvideovdp_tpu import fvvdp
     from fovvideovdp_tpu.video_source_file import fvvdp_video_source_file
@@ -124,6 +169,78 @@ def test_gray_yuv_matches_array_source(fake_ffmpeg):
     t_arr, _ = vs_arr.get_luminance_block(0, F)
     np.testing.assert_allclose(np.asarray(t_blk), np.asarray(t_arr),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_10bit_420_reader_unpack_matches_host(fake_ffmpeg):
+    """yuv420p10le pipe: the uint16 unpack + fixed-point scaling of the
+    >8-bit branch must match the host-computed reference conversion (gray
+    chroma so the 420 upsample is value-neutral)."""
+    from fovvideovdp_tpu.video_source_file import video_reader_yuv_device
+
+    tst, frames = _make_video_fmt(fake_ffmpeg, "tst10", seed=11,
+                                  pix_fmt="yuv420p10le", gray=True)
+    vr = video_reader_yuv_device(tst)
+    assert vr.bit_depth == 10 and vr.dtype == np.uint16
+    assert vr.frame_bytes == H * W * 3  # 1.5 planes x 2 bytes
+    blk = vr.get_frames_block(F)
+    assert blk.dtype == np.uint16 and blk.shape == (F, H * W * 3 // 2)
+    rgb = np.asarray(vr.unpack_block(blk))
+    vr.close()
+    for i, (Y, u, v) in enumerate(frames):
+        uu = np.full((H, W), 128 * 4, np.uint16)
+        exp = _host_yuv_to_rgb(Y, uu, uu, 10)
+        np.testing.assert_allclose(rgb[i], exp, atol=2e-4)
+
+
+def test_444_10bit_reader_unpack_matches_host(fake_ffmpeg):
+    """yuv444p10le: full-resolution chroma (no upsample) — exact per-pixel
+    check of the colour conversion against the host reference."""
+    from fovvideovdp_tpu.video_source_file import video_reader_yuv_device
+
+    tst, frames = _make_video_fmt(fake_ffmpeg, "tst44410", seed=12,
+                                  pix_fmt="yuv444p10le")
+    vr = video_reader_yuv_device(tst)
+    assert (vr.bit_depth, vr.chroma_ss) == (10, "444")
+    assert vr.frame_bytes == H * W * 3 * 2
+    blk = vr.get_frames_block(2)
+    rgb = np.asarray(vr.unpack_block(blk))
+    vr.close()
+    for i in range(2):
+        Y, u, v = frames[i]
+        np.testing.assert_allclose(rgb[i], _host_yuv_to_rgb(Y, u, v, 10),
+                                   atol=2e-4)
+
+
+def test_444_8bit_reader_unpack_matches_host(fake_ffmpeg):
+    from fovvideovdp_tpu.video_source_file import video_reader_yuv_device
+
+    tst, frames = _make_video_fmt(fake_ffmpeg, "tst444", seed=13,
+                                  pix_fmt="yuv444p")
+    vr = video_reader_yuv_device(tst)
+    assert (vr.bit_depth, vr.chroma_ss, vr.dtype) == (8, "444", np.uint8)
+    blk = vr.get_frames_block(2)
+    rgb = np.asarray(vr.unpack_block(blk))
+    vr.close()
+    Y, u, v = frames[0]
+    np.testing.assert_allclose(rgb[0], _host_yuv_to_rgb(Y, u, v, 8),
+                               atol=2e-4)
+
+
+def test_10bit_end_to_end_scoring(fake_ffmpeg):
+    """A 10-bit pipe source streams through the whole metric (HDR PQ display
+    is the typical pairing for >8-bit content)."""
+    from fovvideovdp_tpu import fvvdp
+    from fovvideovdp_tpu.video_source_file import fvvdp_video_source_file
+
+    tst, _ = _make_video_fmt(fake_ffmpeg, "tst10e", seed=14,
+                             pix_fmt="yuv420p10le")
+    ref, _ = _make_video_fmt(fake_ffmpeg, "ref10e", seed=15,
+                             pix_fmt="yuv420p10le")
+    fv = fvvdp(display_name="standard_hdr_pq")
+    vs = fvvdp_video_source_file(tst, ref,
+                                 display_photometry="standard_hdr_pq")
+    Q, _ = fv.predict_video_source(vs)
+    assert np.isfinite(Q) and 0 <= Q <= 10
 
 
 def test_nb_frames_fallback_from_duration(fake_ffmpeg):

@@ -5,15 +5,22 @@ exists, fvvdp.py:669-735).
 
 Usage: python tools/benchmark_grid.py [--frames 1 60] [--repeats 3]
 Prints one JSON line per config.
+
+Every row's JOD is checked against tools/grid_goldens.json (regenerate with
+--update-goldens) and the run EXITS NON-ZERO on |dJOD| > 0.01 — perf numbers
+are only published for correct numerics.
 """
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 RESOLUTIONS = [(1280, 720), (1920, 1080), (3840, 2160)]
+GOLDENS_PATH = os.path.join(os.path.dirname(__file__), "grid_goldens.json")
+JOD_TOL = 0.01
 
 
 def main():
@@ -21,6 +28,9 @@ def main():
     ap.add_argument("--frames", type=int, nargs="+", default=[1, 60])
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--display", default="standard_4k")
+    ap.add_argument("--update-goldens", action="store_true",
+                    help="write this run's JODs to tools/grid_goldens.json "
+                         "instead of asserting against it")
     ap.add_argument("--variants", nargs="+", default=["plain"],
                     choices=["plain", "heatmap", "foveated", "foveated-moving",
                              "batch"],
@@ -47,6 +57,19 @@ def main():
     }
     metrics["foveated-moving"] = metrics["foveated"]
     rng = np.random.RandomState(0)
+
+    goldens = {}
+    if os.path.isfile(GOLDENS_PATH) and not args.update_goldens:
+        with open(GOLDENS_PATH, encoding="utf-8") as f:
+            goldens = json.load(f)
+    failures = []
+    new_goldens = {}
+
+    def check(key, Q):
+        new_goldens[key] = round(float(Q), 4)
+        if key in goldens and abs(float(Q) - goldens[key]) > JOD_TOL:
+            failures.append(f"{key}: JOD {float(Q):.4f} vs golden "
+                            f"{goldens[key]} (|d| > {JOD_TOL})")
 
     for (W, H) in RESOLUTIONS:
         for F in args.frames:
@@ -78,6 +101,7 @@ def main():
                         "pairs_per_s": round(Nb / best, 2),
                         "Q_jod": round(float(jods[0]), 4),
                     }), flush=True)
+                    check(f"{W}x{H}/f1/batch", jods[0])
                     continue
                 fv = metrics[variant]
                 fix = None
@@ -102,6 +126,27 @@ def main():
                     "fps": round(F / best, 2),
                     "Q_jod": round(float(Q), 4),
                 }), flush=True)
+                check(f"{W}x{H}/f{F}/{variant}", Q)
+
+    if args.update_goldens:
+        old = {}
+        if os.path.isfile(GOLDENS_PATH):
+            with open(GOLDENS_PATH, encoding="utf-8") as f:
+                old = json.load(f)
+        old.update(new_goldens)
+        with open(GOLDENS_PATH, "w", encoding="utf-8") as f:
+            json.dump(old, f, indent=2, sort_keys=True)
+        print(f"# wrote {len(new_goldens)} goldens to {GOLDENS_PATH}",
+              file=sys.stderr)
+    elif failures:
+        for msg in failures:
+            print(f"# PARITY FAILURE: {msg}", file=sys.stderr)
+        return 1
+    missing = [k for k in new_goldens if k not in goldens]
+    if missing and not args.update_goldens:
+        print(f"# note: no stored goldens for {missing}; run with "
+              f"--update-goldens to pin them", file=sys.stderr)
+    return 0
 
 
 if __name__ == "__main__":

@@ -248,6 +248,43 @@ Qp, _ = pp.predict(B, A, dim_order="HWC")
 save("pu_psnr", test=B, ref=A, Q=float(Qp))
 
 # ---------------------------------------------------------------------------
+# 8b. Decode-matched ferris goldens: decode the mp4 ONCE with OpenCV and
+# score the decoded arrays through the reference, so the file-pipeline test
+# can assert <= 0.01 JOD with the decoder held fixed (the published README
+# numbers embed the reference's piped-ffmpeg decode, a different chroma
+# upsample — only comparable at the 0.05 cross-decoder tolerance).
+# Reference path exercised: pyfvvdp/fvvdp.py:181-357 on the same frames the
+# TPU build's cv2 fallback feeds (video_source_file.py:166-276 equivalence).
+# ---------------------------------------------------------------------------
+try:
+    import cv2
+except ImportError:
+    cv2 = None
+ALIASING = os.path.join(REFERENCE, "example_media", "aliasing")
+if cv2 is not None and os.path.isfile(os.path.join(ALIASING, "ferris-ref.mp4")):
+    def _grab(path, n):
+        cap = cv2.VideoCapture(path)
+        frames = []
+        for _ in range(n):
+            ok, bgr = cap.read()
+            assert ok, (path, len(frames))
+            frames.append(bgr[:, :, ::-1].copy())
+        cap.release()
+        return np.stack(frames)  # (n, H, W, 3) uint8 RGB
+
+    fv_fer = fvvdp(display_name="standard_fhd", heatmap=None, device=DEV)
+    for n_frames, tag in [(12, "short"), (60, "full")]:
+        tst = _grab(os.path.join(ALIASING, "ferris-bicubic-bicubic.mp4"),
+                    n_frames)
+        ref = _grab(os.path.join(ALIASING, "ferris-ref.mp4"), n_frames)
+        Qf, stf = fv_fer.predict(tst, ref, dim_order="FHWC",
+                                 frames_per_second=25)
+        save(f"ferris_cv2_{tag}", Q_jod=float(Qf), n_frames=n_frames,
+             Q_per_ch=stf["Q_per_ch"])
+else:
+    print("cv2 or ferris media unavailable; skipping decode-matched goldens")
+
+# ---------------------------------------------------------------------------
 # 9. interp3 reference grid
 # ---------------------------------------------------------------------------
 x = np.array([1.0, 2.0, 3.0], np.float32)
