@@ -211,8 +211,11 @@ def _expand_score_kernel(Bv_ref, Mh_ref, tabs_ref, coarse_hbm, fine_ref,
         lYmax = float(np.log2(Ymax))
         u = (jnp.clip(ll, lYmin, lYmax) - y0) / dy
         u = jnp.clip(u, 0.0, float(n_grid - 1))
-        s_s, s_t = score_math.table_interp_delta(
-            (tabs_ref[0], tabs_ref[1]), u, n_grid, shared_delta=shared_delta)
+        # dynamic knot window: only the knots this strip's L_bkg range
+        # reaches are accumulated (tables live in SMEM for the dynamically
+        # indexed scalar loads) — typically 2-6 of the ~19 weightable knots
+        s_s, s_t = score_math.table_interp_delta_dyn(
+            tabs_ref, u, n_grid, 2, shared_delta=shared_delta)
 
         # padded row/col fringe must not contribute to the norm; when the
         # tile grid matches the level exactly (divisor TRO, aligned W) there
@@ -358,7 +361,7 @@ def _expand_score2_call(g_fine, g_coarse, tables, bkg_channel, meta2,
             pl.BlockSpec((_CBO // 2 + 2, _CBO), lambda f, rt: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, n_grid), lambda f, rt: (0, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, C, TRO, Wp), lambda f, rt: (f, 0, rt, 0),
                          memory_space=pltpu.VMEM),

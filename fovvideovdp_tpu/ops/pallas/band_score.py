@@ -223,6 +223,7 @@ def _band_score2_fov_kernel(tabs_s_ref, tabs_t_ref, Ts_ref, Rs_ref, Tt_ref,
     tables.  The grid iterates frames INNERMOST with the table blocks
     indexed by the tile only, so Pallas re-DMAs the (heavy) tables once per
     tile and reuses them across the whole frame block."""
+    f = pl.program_id(2)
     L = L_ref[0]
     u = (jnp.log2(jnp.clip(L, Ymin, Ymax)) - y0) / dy
     u = jnp.clip(u, 0.0, float(n_grid - 1))
@@ -238,7 +239,7 @@ def _band_score2_fov_kernel(tabs_s_ref, tabs_t_ref, Ts_ref, Rs_ref, Tt_ref,
             ((Ts_ref, Rs_ref, s_s, q_s), (Tt_ref, Rt_ref, s_t, q_t))):
         D_b = score_math.d_beta_log2(T_ref[0], R_ref[0], s_log + lcorr,
                                      p, q, lc10, beta)
-        out_ref[0, 0, 0, c] = jnp.sum(D_b)
+        out_ref[0, 0, f, c] = jnp.sum(D_b)
 
 
 def _fov_tile_shape(h: int, w: int):
@@ -285,7 +286,11 @@ def _band_score2_fov_call(Ts, Rs, Tt, Rt, L, tabs_s, tabs_t, y0, dy, Ymin,
                           corr=corr, beta=beta, n_grid=n_grid),
         grid=(n_ct, n_rt, F),
         in_specs=[tab_spec, tab_spec] + [band_spec] * 5,
-        out_specs=pl.BlockSpec((1, 1, 1, 2), lambda ct, rt, f: (ct, rt, f, 0),
+        # the (F, 2) tail of the block spans the full array (Mosaic's
+        # block-mapping rule: last two dims divisible by (8, 128) or equal
+        # to the array's) — frames are the innermost grid dim, so the block
+        # stays resident and each f-step fills its own row
+        out_specs=pl.BlockSpec((1, 1, F, 2), lambda ct, rt, f: (ct, rt, 0, 0),
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((n_ct, n_rt, F, 2), Ts.dtype),
         interpret=interpret,

@@ -7,6 +7,7 @@ kernel at once.  Everything is trace-time function composition — the jaxpr
 (and therefore the Mosaic lowering) is identical to the previously inlined
 forms.
 """
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -37,6 +38,42 @@ def table_interp_delta(rows, u, n_grid, shared_delta=False):
         return [active[0]] + [active[0] + (r[0] - rows[0][0])
                               for r in rows[1:]]
     return active
+
+
+def table_interp_delta_dyn(rows_ref, u, n_grid, n_rows, shared_delta=False):
+    """Piecewise-linear LUT lookup over a DYNAMIC per-call knot window.
+
+    Same telescoped delta form as :func:`table_interp_delta`, but the knot
+    loop runs only over ``[floor(min u), ceil(max u))`` — the knots the tile
+    actually reaches.  Natural content is locally narrow in background
+    luminance, so a 64x256 strip typically spans 2-6 of the ~19 weightable
+    knots; the static unrolled loop pays for all of them.  Exact: knots
+    below the window contribute their full delta (folded into the t[i0]
+    base term read directly from the table — 1 ulp BETTER than the
+    accumulated prefix) and knots above it have exactly zero clip weight.
+
+    ``rows_ref`` is an SMEM ref of shape (n_rows, n_grid) — the dynamic trip
+    count needs dynamically-indexed scalar loads, which SMEM serves in one
+    cycle where a VMEM lane-gather would not.  Returns one interpolated
+    plane per row; with ``shared_delta`` rows 1+ are row 0 plus a scalar
+    offset (see table_interp_delta).
+    """
+    i0 = jnp.clip(jnp.floor(jnp.min(u)).astype(jnp.int32), 0, n_grid - 1)
+    i1 = jnp.clip(jnp.ceil(jnp.max(u)).astype(jnp.int32), 0, n_grid - 1)
+    k_rows = 1 if shared_delta else n_rows
+    init = tuple(jnp.zeros_like(u) + rows_ref[k, i0] for k in range(k_rows))
+
+    def body(j, accs):
+        i = i0 + j
+        c = jnp.clip(u - i.astype(u.dtype), 0.0, 1.0)
+        return tuple(accs[k] + (rows_ref[k, i + 1] - rows_ref[k, i]) * c
+                     for k in range(k_rows))
+
+    outs = list(jax.lax.fori_loop(0, i1 - i0, body, init))
+    if shared_delta:
+        outs += [outs[0] + (rows_ref[k, 0] - rows_ref[0, 0])
+                 for k in range(1, n_rows)]
+    return outs
 
 
 def d_beta_log2(T, R, ls, p, q, lc10, beta):
