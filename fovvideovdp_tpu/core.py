@@ -206,12 +206,28 @@ class MetricCore:
         ny, nr, ne = S0.shape
         diff = S5 - S0
         off5 = float(diff.ravel()[0]) if np.ptp(diff) <= 2e-5 else None
+        # window-local rho grid coordinate (h, w) for the in-kernel
+        # trilinear (ops/pallas/mov_score.py) — the uniform-axis analogue
+        # of w_r's 2-point weights: hat(t_r - k) == w_r[:, k] exactly
+        t_r = None
+        if csf_mod._axis_uniform(lut, "rho_log"):
+            grid = np.asarray(lut["rho_log"], np.float32)
+            dx = np.float32((grid[-1] - grid[0])
+                            / np.float32(grid.shape[0] - 1))
+            q = np.log2(np.clip(np.asarray(self._band_rho[bb], np.float32),
+                                np.float32(np.asarray(lut["rho"])[0]),
+                                np.float32(np.asarray(lut["rho"])[-1])))
+            u = np.clip((q - grid[0]) / dx, np.float32(0.0),
+                        np.float32(grid.shape[0] - 1))
+            t_r = jnp.asarray(np.clip(u - np.float32(r_lo),
+                                      0.0, np.float32(nr - 1)))
         data = {
             "V2": jnp.asarray(S0.reshape(ny * nr, ne).T.copy()),
             "V2_5": None if off5 is not None
             else jnp.asarray(S5.reshape(ny * nr, ne).T.copy()),
             "off5": off5,
             "w_r": jnp.asarray(w_r.reshape(-1, nr)),  # (pixels, n_r)
+            "t_r": t_r,
             "ny": ny, "nr": nr,
         }
         self._mov_cache[bb] = data
@@ -456,6 +472,27 @@ class MetricCore:
             D_acc = None
             if mov_fused and is_contrast:
                 from fovvideovdp_tpu.ops.pallas import band_score as bs
+                from fovvideovdp_tpu.ops.pallas import mov_score as ms
+                if ms.supports(h, w) \
+                        and self._moving_band_data(bb)["t_r"] is not None:
+                    # one dispatch per band per block: ecc + trilinear CSF
+                    # computed IN the kernel — no per-frame tables in HBM
+                    if temp_ch == 1:
+                        zb = jnp.zeros_like(band[:, 0])
+                        b4 = jnp.stack([band[:, 0], band[:, 1], zb, zb],
+                                       axis=1)
+                    else:
+                        b4 = band
+                    ssum2 = ms.band_score2_mov_pallas(
+                        b4, L_bkg, self._moving_band_data(bb),
+                        self._band_view_dir[bb], jnp.transpose(gaze_dir),
+                        self.luts[0], self._fov_lut or self.luts[0],
+                        p["mask_p"], p["mask_q_sust"], p["mask_q_trans"],
+                        p["mask_c"], sens_corr, p["beta"])   # (F, 2)
+                    inv_norm = float(npix) ** (1.0 / p["beta"])
+                    Q_rows.append(jnp.transpose(
+                        jnp.power(ssum2, 1.0 / p["beta"]) / inv_norm))
+                    continue
                 if bs.supports(h, w):
                     if temp_ch == 1:
                         zb = jnp.zeros_like(band[:, 0])

@@ -191,3 +191,33 @@ def test_pallas_band_score2_fov_matches_jnp():
         band[:, 0], band[:, 1], band[:, 2], band[:, 3], L, tabs_s, tabs_t,
         meta2))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6)
+
+
+def test_pallas_mov_score_matches_jnp():
+    """Moving-gaze in-kernel trilinear scorer on hardware (nested dynamic
+    knot-window loops + SMEM LUT — the Mosaic-lowering risk surface)."""
+    dev = _tpu_device()
+    from fovvideovdp_tpu.ops.pallas import mov_score as ms
+    import __graft_entry__ as ge
+    core = ge._make_core(256, 160, foveated=True)
+    p = core.params
+    rng = np.random.RandomState(9)
+    bb = 0
+    h, w = core.plan.level_shapes[bb]
+    F = 3
+    band = jax.device_put(
+        jnp.asarray(rng.randn(F, 4, h, w).astype(np.float32) * 0.05), dev)
+    L = jax.device_put(jnp.asarray(
+        (10.0 ** rng.uniform(-1, 2.3, (F, h, w))).astype(np.float32)), dev)
+    gaze_px = np.stack([np.linspace(5, w - 5, F),
+                        np.linspace(5, h - 5, F)], axis=1)
+    gaze_dir = jnp.transpose(core._gaze_directions(
+        jnp.asarray(gaze_px, dtype=jnp.float32)))
+    corr = 10.0 ** (p["sensitivity_correction"] / 20)
+    args = (band, L, core._moving_band_data(bb), core._band_view_dir[bb],
+            gaze_dir, core.luts[0], core._fov_lut or core.luts[0],
+            p["mask_p"], p["mask_q_sust"], p["mask_q_trans"], p["mask_c"],
+            corr, p["beta"])
+    got = np.asarray(ms.band_score2_mov_pallas(*args))
+    want = np.asarray(ms.band_score2_mov_jnp(*args))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6)

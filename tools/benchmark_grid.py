@@ -50,12 +50,20 @@ def main():
     from fovvideovdp_tpu import fvvdp
     from fovvideovdp_tpu.video_source import fvvdp_video_source_array
 
-    metrics = {
-        "plain": fvvdp(display_name=args.display),
-        "heatmap": fvvdp(display_name=args.display, heatmap="threshold"),
-        "foveated": fvvdp(display_name=args.display, foveated=True),
-    }
-    metrics["foveated-moving"] = metrics["foveated"]
+    def make_metrics():
+        # Fresh objects per resolution: the metric caches device-resident
+        # artifacts (foveated per-pixel CSF tables are GB-scale at 4K,
+        # preloaded videos up to 4 GB) — carrying every resolution's caches
+        # through the whole grid OOMs the 16 GB chip by the 4K rows.
+        m = {
+            "plain": fvvdp(display_name=args.display),
+            "heatmap": fvvdp(display_name=args.display, heatmap="threshold"),
+            "foveated": fvvdp(display_name=args.display, foveated=True),
+        }
+        m["foveated-moving"] = m["foveated"]
+        return m
+
+    import gc
     rng = np.random.RandomState(0)
 
     goldens = {}
@@ -72,6 +80,7 @@ def main():
                             f"{goldens[key]} (|d| > {JOD_TOL})")
 
     for (W, H) in RESOLUTIONS:
+        metrics = make_metrics()
         for F in args.frames:
             ref = rng.randint(0, 255, (H, W, 1, F), dtype=np.uint8)
             tst = np.clip(ref.astype(np.int16)
@@ -127,6 +136,10 @@ def main():
                     "Q_jod": round(float(Q), 4),
                 }), flush=True)
                 check(f"{W}x{H}/f{F}/{variant}", Q)
+                del vs
+                gc.collect()
+        del metrics
+        gc.collect()
 
     if args.update_goldens:
         old = {}
