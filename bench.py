@@ -185,6 +185,8 @@ def main():
           f"image pair {img_ms:.0f} ms device-resident / {img_cold_ms:.0f} ms "
           f"cold incl. transfer | Q={Q_video:.4f} | device "
           f"{jax.devices()[0].device_kind}", file=sys.stderr)
+    from fovvideovdp_tpu.utils import platform_info
+    print(f"# platform: {platform_info()}", file=sys.stderr)
     if failures:
         for f in failures:
             print(f"# PARITY FAILURE: {f}", file=sys.stderr)

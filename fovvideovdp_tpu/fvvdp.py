@@ -214,7 +214,15 @@ class fvvdp:
     def _pick_block_size(self, height: int, width: int, n_frames: int) -> int:
         if self.block_frames is not None:
             return max(1, min(self.block_frames, n_frames))
-        by_mem = int(_BLOCK_PIXEL_BUDGET // (height * width))
+        budget = _BLOCK_PIXEL_BUDGET
+        if self.heatmap is not None:
+            # heatmap blocks keep per-pixel visibility maps for every band
+            # live through the block (plus the rendered RGB output), so the
+            # same frame budget that streams scores compiles to a >HBM
+            # program at 4K — 30-frame plain blocks measured 14.9 GB with
+            # heatmap on.  A quarter budget (7 frames at 4K) is proven.
+            budget /= 4
+        by_mem = int(budget // (height * width))
         return int(max(1, min(_MAX_BLOCK_FRAMES, by_mem, n_frames)))
 
     def predict_video_source(self, vid_source, fixation_point=None, mesh=None,

@@ -173,3 +173,37 @@ def stack_horizontal(nparr):
 
 def stack_vertical(nparr):
     return np.concatenate(list(nparr), axis=-3)
+
+
+def platform_info() -> str:
+    """One-line host + accelerator description for benchmark printouts.
+
+    Covers the role of the reference's vendored ``third_party/cpuinfo``
+    (pyfvvdp/fvvdp.py:29, used only by its commented-out benchmark printer,
+    fvvdp.py:717-735) without the 860-line vendored module: model name and
+    core count from /proc/cpuinfo, plus the JAX backend's device list.
+    """
+    cpu = "unknown CPU"
+    try:
+        model, cores = None, 0
+        with open("/proc/cpuinfo", encoding="utf-8") as f:
+            for line in f:
+                if line.startswith("model name"):
+                    cores += 1
+                    if model is None:
+                        model = line.split(":", 1)[1].strip()
+        if model:
+            cpu = f"{model} x{cores}"
+    except OSError:
+        pass
+    try:
+        import jax
+        devs = jax.devices()
+        kinds = {}
+        for d in devs:
+            kind = getattr(d, "device_kind", d.platform)
+            kinds[kind] = kinds.get(kind, 0) + 1
+        acc = ", ".join(f"{n}x {k}" for k, n in sorted(kinds.items()))
+    except Exception as e:          # backend may be unreachable (wedged tunnel)
+        acc = f"jax backend unavailable ({type(e).__name__})"
+    return f"{cpu} | {acc}"

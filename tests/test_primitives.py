@@ -93,3 +93,11 @@ def test_pu_transform(goldens):
     # round trip
     Y2 = np.asarray(pu.decode(jnp.asarray(V)))
     np.testing.assert_allclose(Y2, np.clip(g["Y"], pu.L_min, pu.L_max), rtol=5e-3)
+
+
+def test_platform_info_string():
+    """platform_info (the cpuinfo-replacement benchmark printout) returns a
+    one-line host + accelerator description on any backend."""
+    from fovvideovdp_tpu.utils import platform_info
+    s = platform_info()
+    assert isinstance(s, str) and "|" in s and "\n" not in s

@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--frames", type=int, nargs="+", default=[1, 60])
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--display", default="standard_4k")
+    ap.add_argument("--resolutions", nargs="+", metavar="WxH",
+                    help="override the default 720p/1080p/4K rows, e.g. "
+                         "'--resolutions 1440x1600' for a per-eye VR panel")
     ap.add_argument("--update-goldens", action="store_true",
                     help="write this run's JODs to tools/grid_goldens.json "
                          "instead of asserting against it")
@@ -47,24 +50,34 @@ def main():
     from bench import wait_for_backend
     wait_for_backend()
 
+    from fovvideovdp_tpu.utils import platform_info
+    print(f"# platform: {platform_info()}", file=sys.stderr)
+
     from fovvideovdp_tpu import fvvdp
     from fovvideovdp_tpu.video_source import fvvdp_video_source_array
 
-    def make_metrics():
-        # Fresh objects per resolution: the metric caches device-resident
-        # artifacts (foveated per-pixel CSF tables are GB-scale at 4K,
-        # preloaded videos up to 4 GB) — carrying every resolution's caches
-        # through the whole grid OOMs the 16 GB chip by the 4K rows.
-        m = {
-            "plain": fvvdp(display_name=args.display),
-            "heatmap": fvvdp(display_name=args.display, heatmap="threshold"),
-            "foveated": fvvdp(display_name=args.display, foveated=True),
-        }
-        m["foveated-moving"] = m["foveated"]
-        return m
+    def make_metric(variant):
+        # ONE metric object live at a time: the metric caches
+        # device-resident artifacts (foveated per-pixel CSF tables are
+        # GB-scale at 4K, preloaded videos up to 4 GB) — holding every
+        # variant's caches concurrently OOMs the 16 GB chip at the 4K rows.
+        if variant == "heatmap":
+            return fvvdp(display_name=args.display, heatmap="threshold")
+        if variant in ("foveated", "foveated-moving"):
+            return fvvdp(display_name=args.display, foveated=True)
+        return fvvdp(display_name=args.display)   # plain / batch
 
     import gc
-    rng = np.random.RandomState(0)
+
+    def row_data(W, H, F):
+        # deterministic per row, independent of loop order, so goldens
+        # survive grid reorderings and --variants subsets
+        rng = np.random.RandomState((W * 7919 + H * 31 + F) % (2 ** 31))
+        ref = rng.randint(0, 255, (H, W, 1, F), dtype=np.uint8)
+        tst = np.clip(ref.astype(np.int16)
+                      + rng.randint(-10, 10, ref.shape), 0,
+                      255).astype(np.uint8)
+        return ref, tst
 
     goldens = {}
     if os.path.isfile(GOLDENS_PATH) and not args.update_goldens:
@@ -73,24 +86,30 @@ def main():
     failures = []
     new_goldens = {}
 
+    # golden keys carry the display name except for the default display
+    # (whose keys predate the --display/--resolutions flags)
+    key_prefix = "" if args.display == "standard_4k" else f"{args.display}/"
+
     def check(key, Q):
+        key = key_prefix + key
         new_goldens[key] = round(float(Q), 4)
         if key in goldens and abs(float(Q) - goldens[key]) > JOD_TOL:
             failures.append(f"{key}: JOD {float(Q):.4f} vs golden "
                             f"{goldens[key]} (|d| > {JOD_TOL})")
 
-    for (W, H) in RESOLUTIONS:
-        metrics = make_metrics()
-        for F in args.frames:
-            ref = rng.randint(0, 255, (H, W, 1, F), dtype=np.uint8)
-            tst = np.clip(ref.astype(np.int16)
-                          + rng.randint(-10, 10, ref.shape), 0, 255).astype(np.uint8)
-            fps = 0 if F == 1 else 30
-            for variant in args.variants:
+    resolutions = RESOLUTIONS
+    if args.resolutions:
+        resolutions = [tuple(int(v) for v in r.lower().split("x"))
+                       for r in args.resolutions]
+    for (W, H) in resolutions:
+        for variant in args.variants:
+            fv = make_metric(variant)
+            for F in args.frames:
+                ref, tst = row_data(W, H, F)
+                fps = 0 if F == 1 else 30
                 if variant == "batch":
                     if F != 1:
                         continue  # the batch row measures image pairs
-                    fv = metrics["plain"]
                     Nb = 8
                     tst_b = np.repeat(tst[None, ..., 0], Nb, axis=0)
                     ref_b = np.repeat(ref[None, ..., 0], Nb, axis=0)
@@ -112,7 +131,6 @@ def main():
                     }), flush=True)
                     check(f"{W}x{H}/f1/batch", jods[0])
                     continue
-                fv = metrics[variant]
                 fix = None
                 if variant == "foveated-moving":
                     if F == 1:
@@ -138,8 +156,8 @@ def main():
                 check(f"{W}x{H}/f{F}/{variant}", Q)
                 del vs
                 gc.collect()
-        del metrics
-        gc.collect()
+            del fv
+            gc.collect()
 
     if args.update_goldens:
         old = {}
