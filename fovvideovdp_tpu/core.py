@@ -641,6 +641,23 @@ class MetricCore:
     # ------------------------------------------------------------------
     # jitted entry points
     # ------------------------------------------------------------------
+    def fov_table_bytes(self) -> int:
+        """Estimated HBM footprint of ONE fixed-gaze per-pixel CSF table set
+        (``fov_tables``): n_kept_knots x h x w float32 planes per band per
+        temporal channel.  Used by block sizing and the scan-path budget —
+        at 4K the tables are ~1.7 GB and stay resident through the whole
+        run, so ignoring them compiles >HBM programs (observed: 4K foveated
+        60-frame scan exceeded the 15.75 GB chip by 179 MB)."""
+        if not self.foveated or self.content_mapping is not None:
+            return 0
+        if self._fov_trim is not None:
+            n = self._fov_trim[1] - self._fov_trim[0] + 1
+        else:
+            n = int(np.shape(self.luts[0]["Y_log"])[0])
+        px = sum(int(np.prod(r.shape)) for r in self._band_rho
+                 if hasattr(r, "shape"))
+        return n * len(self.luts) * px * 4
+
     def _static_fov_tables(self, static_gaze):
         """Resolve the fixed-gaze CSF tables for the fn builders (None when
         the dynamic per-frame path must be used)."""

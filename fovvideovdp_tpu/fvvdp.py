@@ -45,6 +45,9 @@ from fovvideovdp_tpu.video_source import fvvdp_video_source_array
 # on the resolution, so one compile per resolution serves any video length.
 _BLOCK_PIXEL_BUDGET = 2.5e8
 _MAX_BLOCK_FRAMES = 32
+# block temporaries per pixel-frame (fp32 temporal responses x2 videos x4
+# channels + padded pyramid copies), measured from 4K compile memory dumps
+_BLOCK_TEMP_BYTES_PER_PX = 37
 
 
 def _env_bytes(name: str, default: int) -> int:
@@ -211,7 +214,8 @@ class fvvdp:
                     defer_tables=use_tables)
         return self._shard_fns[key]
 
-    def _pick_block_size(self, height: int, width: int, n_frames: int) -> int:
+    def _pick_block_size(self, height: int, width: int, n_frames: int,
+                         table_bytes: int = 0) -> int:
         if self.block_frames is not None:
             return max(1, min(self.block_frames, n_frames))
         budget = _BLOCK_PIXEL_BUDGET
@@ -223,6 +227,14 @@ class fvvdp:
             # heatmap on.  A quarter budget (7 frames at 4K) is proven.
             budget /= 4
         by_mem = int(budget // (height * width))
+        if table_bytes:
+            # fixed-gaze per-pixel CSF tables stay HBM-resident through the
+            # run (~1.7 GB at 4K); charge them against the block budget at
+            # the measured block-temporary cost of ~37 B per pixel-frame
+            # (two (B, 4, H, W) fp32 temporal-response temps + padded level
+            # copies, from the 4K compile-OOM memory dump)
+            by_mem -= int(-(-table_bytes // (_BLOCK_TEMP_BYTES_PER_PX
+                                             * height * width)))
         return int(max(1, min(_MAX_BLOCK_FRAMES, by_mem, n_frames)))
 
     def predict_video_source(self, vid_source, fixation_point=None, mesh=None,
@@ -327,7 +339,9 @@ class fvvdp:
                     "do_temporal_channels=False ablation path; run it "
                     "without a mesh (a silent single-device fallback would "
                     "waste the requested hardware)")
-            B = self._pick_block_size(height, width, N_frames)
+            B = self._pick_block_size(
+                height, width, N_frames,
+                table_bytes=core.fov_table_bytes() if static_gaze else 0)
             Q_per_ch = np.zeros((plan.height, 2, N_frames), dtype=np.float32)
             fn = core.image_block_fn(static_gaze=static_gaze)
             pending = []
@@ -364,7 +378,9 @@ class fvvdp:
                 fps, fl, self.sustained_sigma, self.sustained_beta)
             pad_idx = temporal_ops.padding_indices(N_frames, fl, self.temp_padding)
 
-            B = self._pick_block_size(height, width, N_frames)
+            B = self._pick_block_size(
+                height, width, N_frames,
+                table_bytes=core.fov_table_bytes() if static_gaze else 0)
             if mesh is not None:
                 # shard output frames over the mesh: blocks must split evenly
                 B = -(-B // n_dev) * n_dev
@@ -610,6 +626,9 @@ class fvvdp:
                             self._SCAN_MAX_BYTES_DEFAULT)
         resident = int(getattr(vid_source, "device_resident_bytes",
                                lambda: 0)())
+        if static_gaze is not None:
+            # fixed-gaze per-pixel CSF tables ride along as scan arguments
+            resident += core.fov_table_bytes()
         if (total + fl - 1) * height * width * 4 * 2 + resident > budget:
             return False
         # padded source schedule: fl-1 warm-up frames + the per-output-frame
@@ -659,9 +678,18 @@ class fvvdp:
             Q_per_ch[:] = np.asarray(Q_all)[:, :, :N_frames]
         except Exception as e:
             # an HBM-oversubscribed dispatch must degrade to streaming, not
-            # kill the job: the budget above is an estimate, not a guarantee
-            if "RESOURCE_EXHAUSTED" not in str(e) \
-                    and "Resource exhausted" not in str(e):
+            # kill the job: the budget above is an estimate, not a guarantee.
+            # Through the axon tunnel a compile-time HBM OOM surfaces as an
+            # opaque INTERNAL remote_compile HTTP 500 (the "Ran out of
+            # memory in memory space hbm" detail stays in the terminal log),
+            # so that shape falls back too — if the program is genuinely
+            # uncompilable the smaller streaming program re-raises below.
+            msg = str(e)
+            oom_like = ("RESOURCE_EXHAUSTED" in msg
+                        or "Resource exhausted" in msg
+                        or "Ran out of memory" in msg
+                        or ("remote_compile" in msg and "HTTP 500" in msg))
+            if not oom_like:
                 raise
             logging.warning(f"scan path exhausted device memory ({e}); "
                             f"falling back to the streaming loop")

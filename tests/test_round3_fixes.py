@@ -122,3 +122,45 @@ def test_exec_path_reset_between_calls(monkeypatch):
     fv2 = fvvdp(display_name="standard_fhd", do_temporal_channels=False)
     fv2.predict_video_source(_source(fv2, tst, ref))
     assert fv2._exec_path == "ablation"
+
+
+def test_fov_tables_charged_against_block_budget():
+    """The fixed-gaze per-pixel CSF tables (~1.6 GB HBM-resident at 4K) must
+    shrink the auto block size — ignoring them compiled >HBM programs
+    (4K foveated 60-frame scan exceeded the 15.75 GB chip by 179 MB)."""
+    fv = fvvdp(display_name="standard_4k", foveated=True)
+    core = fv._get_core(3840, 2160)
+    tb = core.fov_table_bytes()
+    assert tb > 1 << 30  # GB-scale at 4K
+    B_plain = fv._pick_block_size(2160, 3840, 60)
+    B_fov = fv._pick_block_size(2160, 3840, 60, table_bytes=tb)
+    assert B_fov < B_plain
+    assert B_fov >= 16  # still large enough to amortise dispatch
+    # non-foveated metrics report no table footprint
+    fvp = fvvdp(display_name="standard_4k")
+    assert fvp._get_core(3840, 2160).fov_table_bytes() == 0
+
+
+def test_scan_budget_counts_fov_tables(monkeypatch):
+    """With the budget squeezed to just above the luminance-pair size, a
+    foveated fixed-gaze video must reject the scan (tables don't fit) while
+    the plain metric still scans."""
+    from fovvideovdp_tpu.ops import temporal as temporal_ops
+    tst, ref = _pair(F=6, H=48, W=64)
+    fl = temporal_ops.filter_len_for_fps(30.0)
+    lum_pair = (6 + fl - 1) * 48 * 64 * 4 * 2
+    fvf = fvvdp(display_name="htc_vive_pro", foveated=True)
+    tabs = fvf._get_core(64, 48).fov_table_bytes()
+    assert tabs > 0
+    src = _source(fvf, tst, ref)
+    resident = src.device_resident_bytes()
+    # budget admits the luminance pair + raw resident frames, but NOT the
+    # fixed-gaze per-pixel CSF tables
+    budget = lum_pair + resident + tabs // 2
+    monkeypatch.setenv("FVVDP_SCAN_MAX_BYTES", str(budget))
+    monkeypatch.delenv("FVVDP_DISABLE_SCAN", raising=False)
+    fv = fvvdp(display_name="standard_fhd")
+    fv.predict_video_source(_source(fv, tst, ref))
+    assert fv._exec_path == "scan"
+    fvf.predict_video_source(src, fixation_point=np.array([32, 24]))
+    assert fvf._exec_path == "stream"
