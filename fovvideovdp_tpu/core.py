@@ -658,6 +658,14 @@ class MetricCore:
                  if hasattr(r, "shape"))
         return n * len(self.luts) * px * 4
 
+    def drop_fov_tables(self) -> None:
+        """Free every cached fixed-gaze table set (GB-scale at 4K).  Called
+        before moving-gaze scoring, which never reads them — without the
+        eviction a fixed-then-moving sequence on the same metric OOMs the
+        16 GB chip at 4K (observed as RESOURCE_EXHAUSTED on the next
+        host->device transfer)."""
+        self._fov_table_cache.clear()
+
     def _static_fov_tables(self, static_gaze):
         """Resolve the fixed-gaze CSF tables for the fn builders (None when
         the dynamic per-frame path must be used)."""

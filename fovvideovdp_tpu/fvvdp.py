@@ -22,6 +22,7 @@ import logging
 import os
 from typing import Dict
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -229,12 +230,16 @@ class fvvdp:
         by_mem = int(budget // (height * width))
         if table_bytes:
             # fixed-gaze per-pixel CSF tables stay HBM-resident through the
-            # run (~1.7 GB at 4K); charge them against the block budget at
-            # the measured block-temporary cost of ~37 B per pixel-frame
-            # (two (B, 4, H, W) fp32 temporal-response temps + padded level
-            # copies, from the 4K compile-OOM memory dump)
-            by_mem -= int(-(-table_bytes // (_BLOCK_TEMP_BYTES_PER_PX
-                                             * height * width)))
+            # run (~1.6 GB at 4K), and the scorer programs stage padded
+            # copies of table planes in their temporaries, so charge the
+            # tables at 3x against the block budget (in units of the
+            # measured ~37 B of block temporaries per pixel-frame).  The
+            # multiplier is hardware-calibrated: a 1x charge (4K foveated
+            # B=24) still exhausted the 15.75 GB chip at dispatch; 3x
+            # (B=14) leaves multi-GB headroom for XLA staging + heap
+            # fragmentation.
+            by_mem -= int(-(-3 * table_bytes // (_BLOCK_TEMP_BYTES_PER_PX
+                                                 * height * width)))
         return int(max(1, min(_MAX_BLOCK_FRAMES, by_mem, n_frames)))
 
     def predict_video_source(self, vid_source, fixation_point=None, mesh=None,
@@ -294,6 +299,12 @@ class fvvdp:
             return jnp.log10(jnp.clip(x, 1e-6, None)) if log_c else x
 
         pass_gaze = self.foveated and static_gaze is None
+        if pass_gaze:
+            # the moving-gaze path never reads the static-gaze per-pixel CSF
+            # tables, but a previous fixed-gaze call may have left GB-scale
+            # entries resident (one 4K entry is ~1.6 GB); evict them so the
+            # in-kernel trilinear path gets the HBM back
+            core.drop_fov_tables()
 
         if checkpoint_path and (is_image or not self.do_temporal_channels):
             logging.warning("checkpoint_path applies to the streaming video "
@@ -586,16 +597,24 @@ class fvvdp:
     # ------------------------------------------------------------------
     # chunked-scan whole-video scoring (device-resident sources)
     # ------------------------------------------------------------------
-    # HBM budget for (padded fp32 luminance pair + the source's resident raw
-    # frames); per-chunk scan intermediates are roughly block-sized and
-    # length-independent, so the remaining headroom on a 16 GB chip covers
-    # them.  A RESOURCE_EXHAUSTED dispatch still falls back to streaming.
-    _SCAN_MAX_BYTES_DEFAULT = 11 << 30
     # Scan chunk sizes in blocks, largest first.  Any video length decomposes
     # into this ladder plus reuse, so at most len(ladder) scan programs are
     # ever compiled per (resolution, B, config) — a whole-video scan would
-    # pay a fresh trace+compile for every distinct duration.
+    # pay a fresh trace+compile for every distinct duration.  Rungs whose
+    # gathered fp32 luminance chunk doesn't fit the HBM headroom are dropped
+    # per (resolution, config) — still length-independent.
     _SCAN_CHUNK_BLOCKS = (8, 2, 1)
+
+    @staticmethod
+    def _hbm_capacity_bytes() -> int:
+        """Allocatable device-memory bound for scan working-set planning."""
+        try:
+            st = jax.devices()[0].memory_stats() or {}
+            if st.get("bytes_limit"):
+                return int(st["bytes_limit"])
+        except Exception:
+            pass
+        return int(15.75 * 2 ** 30)  # one 16 GB v5e chip's usable HBM
 
     def _try_scan_video(self, vid_source, core, filt, fl, B, pad_idx,
                         stream_idx, Q_per_ch, static_gaze, fixation_point,
@@ -604,17 +623,21 @@ class fvvdp:
 
         Engages when the source's luminance blocks are pure device-side
         slices (so streaming's pipelining has no host work left to hide), no
-        heatmap/checkpoint per-block readback is needed, and the padded fp32
-        luminance pair plus the resident raw video fit the HBM budget
-        ($FVVDP_SCAN_MAX_BYTES).  Fills ``Q_per_ch`` and returns True, or
-        returns False to fall back to the pipelined streaming loop.  Each
-        chunk's scan body is the streaming step itself (core.video_scan_fn),
-        so both paths compute identical numerics; what the scan removes is
-        the per-block dispatch round-trip, which dominates on slow
-        transports.  Chunks come from the fixed ladder _SCAN_CHUNK_BLOCKS,
-        chained through the temporal carry, so a new video length never
-        compiles a new program once the ladder is warm.  Set
-        FVVDP_DISABLE_SCAN=1 to force the streaming loop.
+        heatmap/checkpoint per-block readback is needed, and at least a
+        2-block chunk fits the estimated HBM headroom (capacity minus the
+        resident raw frames, fixed-gaze CSF tables and block temporaries;
+        override the capacity bound with $FVVDP_SCAN_MAX_BYTES).  Fills
+        ``Q_per_ch`` and returns True, or returns False to fall back to the
+        pipelined streaming loop.  Each chunk's luminance is gathered to
+        fp32 just before its dispatch and freed after, so the peak working
+        set is one chunk — NOT the whole video — and any video length can
+        scan.  Each chunk's scan body is the streaming step itself
+        (core.video_scan_fn), so both paths compute identical numerics; what
+        the scan removes is the per-block dispatch round-trip, which
+        dominates on slow transports.  Chunks come from the fixed ladder
+        _SCAN_CHUNK_BLOCKS, chained through the temporal carry, so a new
+        video length never compiles a new program once the ladder is warm.
+        Set FVVDP_DISABLE_SCAN=1 to force the streaming loop.
         """
         if self.do_heatmap or not vid_source.luminance_is_device_resident():
             return False
@@ -622,15 +645,26 @@ class fvvdp:
             return False
         n_blocks = -(-N_frames // B)
         total = n_blocks * B
-        budget = _env_bytes("FVVDP_SCAN_MAX_BYTES",
-                            self._SCAN_MAX_BYTES_DEFAULT)
+        px = height * width
+        cap = _env_bytes("FVVDP_SCAN_MAX_BYTES", 0) \
+            or self._hbm_capacity_bytes() - (3 << 29)  # alloc/frag slack
         resident = int(getattr(vid_source, "device_resident_bytes",
                                lambda: 0)())
         if static_gaze is not None:
             # fixed-gaze per-pixel CSF tables ride along as scan arguments
             resident += core.fov_table_bytes()
-        if (total + fl - 1) * height * width * 4 * 2 + resident > budget:
+        # length-independent working set: raw frames + tables + per-block
+        # temporaries + the fl-1 carry pair
+        fixed = resident + _BLOCK_TEMP_BYTES_PER_PX * B * px \
+            + (fl - 1) * px * 4 * 2
+        per_block_pair = B * px * 4 * 2  # gathered fp32 luminance per block
+        headroom = cap - fixed
+        if headroom < 2 * per_block_pair:
+            # a 1-block chunk would just be the streaming loop without its
+            # readback/decode pipelining — not worth taking
             return False
+        rungs = tuple(k for k in self._SCAN_CHUNK_BLOCKS
+                      if k * per_block_pair <= headroom)
         # padded source schedule: fl-1 warm-up frames + the per-output-frame
         # stream order + the last frame repeated out to a whole block (the
         # tail outputs are sliced away; the temporal window is causal, so
@@ -647,30 +681,39 @@ class fvvdp:
         # greedy ladder decomposition (ladder ends at 1, so rem reaches 0)
         sched = []
         rem = n_blocks
-        for k in self._SCAN_CHUNK_BLOCKS:
+        for k in rungs:
             n, rem = divmod(rem, k)
             sched.extend([k] * n)
         try:
-            T_pad, R_pad = vid_source.get_indexed_luminance_block(full_idx)
+            head_t, head_r = vid_source.get_indexed_luminance_block(
+                full_idx[:fl - 1])
             if log_c:
-                carry_t = jnp.log10(jnp.clip(T_pad[:fl - 1], 1e-6, None))
-                carry_r = jnp.log10(jnp.clip(R_pad[:fl - 1], 1e-6, None))
+                carry_t = jnp.log10(jnp.clip(head_t, 1e-6, None))
+                carry_r = jnp.log10(jnp.clip(head_r, 1e-6, None))
             else:
-                carry_t, carry_r = T_pad[:fl - 1], R_pad[:fl - 1]
+                carry_t, carry_r = head_t, head_r
+            del head_t, head_r
             Q_chunks = []
             ofs = 0  # position in blocks
             for k in sched:
                 fn = core.video_scan_fn(filt, B, k, static_gaze=static_gaze,
                                         log_contrast=log_c)
                 lo = fl - 1 + ofs * B
-                hi = lo + k * B
+                # gather THIS chunk's fp32 luminance only; the buffers die
+                # with the loop iteration, so peak HBM holds one chunk
+                t_k, r_k = vid_source.get_indexed_luminance_block(
+                    full_idx[lo:lo + k * B])
                 if pass_gaze:
                     Q_k, carry_t, carry_r = fn(
-                        carry_t, carry_r, T_pad[lo:hi], R_pad[lo:hi],
+                        carry_t, carry_r, t_k, r_k,
                         jnp.asarray(gaze_all[ofs:ofs + k]))
                 else:
-                    Q_k, carry_t, carry_r = fn(carry_t, carry_r,
-                                               T_pad[lo:hi], R_pad[lo:hi])
+                    Q_k, carry_t, carry_r = fn(carry_t, carry_r, t_k, r_k)
+                del t_k, r_k
+                # chain synchronously: enqueueing the NEXT chunk's gather
+                # before this chunk retires would claim its output buffers
+                # early and hold two chunks in HBM at once
+                carry_t.block_until_ready()
                 Q_chunks.append(Q_k)
                 ofs += k
             Q_all = Q_chunks[0] if len(Q_chunks) == 1 \

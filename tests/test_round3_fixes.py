@@ -69,26 +69,38 @@ def test_device_heatmap_budget_guard(monkeypatch):
     assert st["heatmap"].shape[2] == 4
 
 
+def _scan_working_set(metric, vs, table_bytes=0):
+    """(fixed bytes, per-block chunk-pair bytes) of the scan estimate, mirroring
+    _try_scan_video's accounting so tests can place the cap just above/below."""
+    from fovvideovdp_tpu.fvvdp import _BLOCK_TEMP_BYTES_PER_PX
+    from fovvideovdp_tpu.ops import temporal as temporal_ops
+    H, W, F = vs.get_video_size()
+    px = H * W
+    fl = temporal_ops.filter_len_for_fps(vs.get_frames_per_second())
+    B = metric._pick_block_size(H, W, F, table_bytes=table_bytes)
+    fixed = (vs.device_resident_bytes() + table_bytes
+             + _BLOCK_TEMP_BYTES_PER_PX * B * px + (fl - 1) * px * 8)
+    return fixed, B * px * 8
+
+
 def test_scan_budget_counts_resident_frames(monkeypatch):
-    """Budget just above the padded luminance pair but below pair+resident
-    raw frames must keep the streaming path."""
+    """Cap just below fixed+2-block headroom must keep the streaming path;
+    the resident raw frames are part of the accounted working set."""
     tst, ref = _pair(F=6)
     fv = fvvdp(display_name="standard_fhd")
     vs = _source(fv, tst, ref)
-    H, W, F = vs.get_video_size()
     assert vs.device_resident_bytes() == tst.nbytes + ref.nbytes
     monkeypatch.delenv("FVVDP_DISABLE_SCAN", raising=False)
-    from fovvideovdp_tpu.ops import temporal as temporal_ops
-    fl = temporal_ops.filter_len_for_fps(30)
-    B = fv._pick_block_size(H, W, F)
-    total = -(-F // B) * B
-    pair_bytes = (total + fl - 1) * H * W * 8
+    fixed, per_block = _scan_working_set(fv, vs)
+    # enough headroom for a 2-block chunk ONLY if the resident frames were
+    # ignored -> must stream
     monkeypatch.setenv("FVVDP_SCAN_MAX_BYTES",
-                       str(pair_bytes + vs.device_resident_bytes() // 2))
+                       str(fixed + 2 * per_block
+                           - vs.device_resident_bytes() // 2))
     fv.predict_video_source(vs)
     assert fv._exec_path == "stream"
     monkeypatch.setenv("FVVDP_SCAN_MAX_BYTES",
-                       str(pair_bytes + vs.device_resident_bytes() + 10**6))
+                       str(fixed + 2 * per_block + 10**4))
     fv.predict_video_source(vs)
     assert fv._exec_path == "scan"
 
@@ -135,7 +147,7 @@ def test_fov_tables_charged_against_block_budget():
     B_plain = fv._pick_block_size(2160, 3840, 60)
     B_fov = fv._pick_block_size(2160, 3840, 60, table_bytes=tb)
     assert B_fov < B_plain
-    assert B_fov >= 16  # still large enough to amortise dispatch
+    assert B_fov >= 8  # still large enough to amortise dispatch
     # non-foveated metrics report no table footprint
     fvp = fvvdp(display_name="standard_4k")
     assert fvp._get_core(3840, 2160).fov_table_bytes() == 0
@@ -145,22 +157,34 @@ def test_scan_budget_counts_fov_tables(monkeypatch):
     """With the budget squeezed to just above the luminance-pair size, a
     foveated fixed-gaze video must reject the scan (tables don't fit) while
     the plain metric still scans."""
-    from fovvideovdp_tpu.ops import temporal as temporal_ops
     tst, ref = _pair(F=6, H=48, W=64)
-    fl = temporal_ops.filter_len_for_fps(30.0)
-    lum_pair = (6 + fl - 1) * 48 * 64 * 4 * 2
     fvf = fvvdp(display_name="htc_vive_pro", foveated=True)
     tabs = fvf._get_core(64, 48).fov_table_bytes()
     assert tabs > 0
     src = _source(fvf, tst, ref)
-    resident = src.device_resident_bytes()
-    # budget admits the luminance pair + raw resident frames, but NOT the
-    # fixed-gaze per-pixel CSF tables
-    budget = lum_pair + resident + tabs // 2
-    monkeypatch.setenv("FVVDP_SCAN_MAX_BYTES", str(budget))
+    fixed, per_block = _scan_working_set(fvf, src, table_bytes=tabs)
+    # cap admits a 2-block chunk WITHOUT the tables, not with them
+    cap = fixed - tabs // 2 + 2 * per_block
+    monkeypatch.setenv("FVVDP_SCAN_MAX_BYTES", str(cap))
     monkeypatch.delenv("FVVDP_DISABLE_SCAN", raising=False)
     fv = fvvdp(display_name="standard_fhd")
     fv.predict_video_source(_source(fv, tst, ref))
     assert fv._exec_path == "scan"
     fvf.predict_video_source(src, fixation_point=np.array([32, 24]))
     assert fvf._exec_path == "stream"
+
+
+def test_moving_gaze_evicts_static_fov_tables():
+    """A fixed-then-moving gaze sequence on one metric must drop the
+    GB-scale static-gaze CSF tables before the moving path runs (at 4K the
+    stale cache entry OOMs the chip)."""
+    tst, ref = _pair(F=6)
+    fv = fvvdp(display_name="htc_vive_pro", foveated=True)
+    src = _source(fv, tst, ref)
+    Qs, _ = fv.predict_video_source(src, fixation_point=np.array([32, 24]))
+    core = fv._get_core(64, 48)
+    assert len(core._fov_table_cache) == 1
+    fix = np.stack([np.linspace(5, 60, 6), np.linspace(5, 40, 6)], axis=1)
+    Qm, _ = fv.predict_video_source(src, fixation_point=fix)
+    assert len(core._fov_table_cache) == 0
+    assert np.isfinite(Qs) and np.isfinite(Qm)

@@ -35,10 +35,13 @@ def main():
                     help="write this run's JODs to tools/grid_goldens.json "
                          "instead of asserting against it")
     ap.add_argument("--variants", nargs="+", default=["plain"],
-                    choices=["plain", "heatmap", "foveated", "foveated-moving",
-                             "batch"],
+                    choices=["plain", "heatmap", "heatmap-device", "foveated",
+                             "foveated-moving", "batch"],
                     help="heatmap = threshold heatmap rendered+downloaded per "
-                         "block; foveated = eccentricity-dependent CSF with a "
+                         "block; heatmap-device = rendered on device, output "
+                         "left in HBM (device_heatmap=True; timing excludes "
+                         "the host readback, which is transport-bound); "
+                         "foveated = eccentricity-dependent CSF with a "
                          "fixed central gaze (per-pixel-table path); "
                          "foveated-moving = per-frame gaze trajectory "
                          "(block-amortised trilinear path; video rows only); "
@@ -63,6 +66,9 @@ def main():
         # variant's caches concurrently OOMs the 16 GB chip at the 4K rows.
         if variant == "heatmap":
             return fvvdp(display_name=args.display, heatmap="threshold")
+        if variant == "heatmap-device":
+            return fvvdp(display_name=args.display, heatmap="threshold",
+                         device_heatmap=True)
         if variant in ("foveated", "foveated-moving"):
             return fvvdp(display_name=args.display, foveated=True)
         return fvvdp(display_name=args.display)   # plain / batch
@@ -140,11 +146,23 @@ def main():
                 vs = fvvdp_video_source_array(
                     tst, ref, fps, dim_order="HWCF",
                     display_photometry=fv.display_photometry)
-                Q, _ = fv.predict_video_source(vs, fixation_point=fix)
+
+                def score():
+                    Q, st = fv.predict_video_source(vs, fixation_point=fix)
+                    if variant == "heatmap-device":
+                        # the heatmap stays in HBM; block on it so the
+                        # timing covers the render, then drop the reference
+                        # so repeats don't accumulate 4K x 60 fp16 buffers
+                        import jax
+                        jax.block_until_ready(st["heatmap"])
+                        st["heatmap"] = None
+                    return Q
+
+                Q = score()
                 best = None
                 for _ in range(args.repeats):
                     t0 = time.time()
-                    Q, _ = fv.predict_video_source(vs, fixation_point=fix)
+                    Q = score()
                     dt = time.time() - t0
                     best = dt if best is None else min(best, dt)
                 print(json.dumps({
