@@ -48,7 +48,8 @@ class MetricCore:
                  geometry=None, foveated: bool = False,
                  heatmap: Optional[str] = None, content_mapping=None,
                  ignore_boundary_pixels: bool = False, band_callback=None,
-                 peak_luminance: Optional[float] = None):
+                 peak_luminance: Optional[float] = None,
+                 heatmap_dtype: str = "float16"):
         self.plan = plan
         self.params = params
         self.luts = tuple(luts)
@@ -56,6 +57,15 @@ class MetricCore:
         self.foveated = foveated
         self.heatmap = heatmap
         self.do_heatmap = heatmap is not None and heatmap != "none"
+        if heatmap_dtype not in ("float16", "uint8"):
+            raise ValueError(f"heatmap_dtype must be 'float16' or 'uint8', "
+                             f"got {heatmap_dtype!r}")
+        if heatmap_dtype == "uint8" and heatmap == "raw":
+            # raw maps are unbounded JOD-scale magnitudes; 8-bit quantisation
+            # only makes sense for the display-referred colormapped outputs
+            raise ValueError("heatmap_dtype='uint8' requires a colormapped "
+                             "heatmap type, not 'raw'")
+        self.heatmap_dtype = heatmap_dtype
         self.content_mapping = content_mapping
         self.ignore_boundary_pixels = ignore_boundary_pixels
         self.band_callback = band_callback
@@ -205,7 +215,10 @@ class MetricCore:
                                                r_lo:r_hi + 1, :]
         ny, nr, ne = S0.shape
         diff = S5 - S0
-        off5 = float(diff.ravel()[0]) if np.ptp(diff) <= 2e-5 else None
+        # collapse to the mean, not diff[0]: at the ptp tolerance boundary
+        # the mean centres the residual (worst case 1e-5 log2 units) where
+        # an arbitrary element could bias the whole channel by the full 2e-5
+        off5 = float(diff.mean()) if np.ptp(diff) <= 2e-5 else None
         # window-local rho grid coordinate (h, w) for the in-kernel
         # trilinear (ops/pallas/mov_score.py) — the uniform-axis analogue
         # of w_r's 2-point weights: hat(t_r - k) == w_r[:, k] exactly
@@ -635,7 +648,13 @@ class MetricCore:
             else:
                 context = R[:, 0:1]  # test-sustained channel (fvvdp.py:475)
                 heat_out = visualize_diff_map_frames(dmap, context, self.heatmap)
-            heat_out = heat_out.astype(jnp.float16)
+            if self.heatmap_dtype == "uint8":
+                # display-referred RGB in [0,1]: quantise on device so the
+                # host readback ships half the bytes of fp16 triples
+                heat_out = jnp.round(
+                    jnp.clip(heat_out, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+            else:
+                heat_out = heat_out.astype(jnp.float16)
         return Q_per_ch, heat_out
 
     # ------------------------------------------------------------------

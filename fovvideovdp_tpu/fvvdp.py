@@ -74,11 +74,18 @@ class fvvdp:
                  use_checkpoints=False, block_frames=None,
                  do_temporal_channels=True, ignore_boundary_pixels=False,
                  band_callback=None, content_mapping=None,
-                 parameter_overrides=None, device_heatmap=False):
+                 parameter_overrides=None, device_heatmap=False,
+                 heatmap_dtype="float16"):
         assert heatmap in [None, "none", "raw", "threshold", "supra-threshold",
                            "monochromatic"], "Unsupported heatmap type"
         assert temp_padding in ["replicate", "circular", "pingpong"], \
             "Unsupported temporal padding method"
+        if heatmap_dtype not in ("float16", "uint8"):
+            raise ValueError(f"heatmap_dtype must be 'float16' or 'uint8', "
+                             f"got {heatmap_dtype!r}")
+        if heatmap_dtype == "uint8" and heatmap == "raw":
+            raise ValueError("heatmap_dtype='uint8' requires a colormapped "
+                             "heatmap type, not 'raw'")
 
         self.quiet = quiet
         self.foveated = foveated
@@ -94,6 +101,11 @@ class fvvdp:
         # time on anything slower than PCIe. Whole-video heatmaps must fit
         # in HBM; stream block-wise (host heatmaps) for long content.
         self.device_heatmap = device_heatmap
+        # "uint8" quantises colormapped heatmaps on device ([0,1] RGB →
+        # 0..255), halving host-readback bytes vs the reference's fp16
+        # (pyfvvdp/fvvdp.py:471-477 keeps float16); "float16" matches the
+        # reference layout/dtype exactly
+        self.heatmap_dtype = heatmap_dtype
         self.device = device  # accepted for API compatibility; JAX manages devices
         # research/ablation options of the MATLAB core (fvvdp_core.m:60-77)
         self.do_temporal_channels = do_temporal_channels
@@ -184,7 +196,7 @@ class fvvdp:
 
     def _get_core(self, width: int, height: int) -> MetricCore:
         key = (width, height, self.foveated, self.heatmap,
-               self.ignore_boundary_pixels)
+               self.heatmap_dtype, self.ignore_boundary_pixels)
         if key not in self._cores:
             plan = PyramidPlan(width, height, self.pix_per_deg)
             try:
@@ -196,7 +208,8 @@ class fvvdp:
                 geometry=self.display_geometry, foveated=self.foveated,
                 heatmap=self.heatmap, content_mapping=self.content_mapping,
                 ignore_boundary_pixels=self.ignore_boundary_pixels,
-                band_callback=self.band_callback, peak_luminance=peak)
+                band_callback=self.band_callback, peak_luminance=peak,
+                heatmap_dtype=self.heatmap_dtype)
         return self._cores[key]
 
     def _get_sharded_fn(self, key, filt=None):
@@ -522,7 +535,8 @@ class fvvdp:
             "N_frames": N_frames,
         }
         if self.do_heatmap:
-            # (1, c, F, H, W) float16 — same layout/dtype as the reference
+            # (1, c, F, H, W) — float16 (the reference's layout/dtype) or
+            # uint8 when heatmap_dtype="uint8"
             if self.device_heatmap:
                 full = heat_dev_blocks[0] if len(heat_dev_blocks) == 1 \
                     else jnp.concatenate(heat_dev_blocks, axis=0)
@@ -539,12 +553,13 @@ class fvvdp:
         budget = _env_bytes("FVVDP_DEVICE_HEATMAP_MAX_BYTES",
                             self._DEVICE_HEATMAP_MAX_BYTES_DEFAULT)
         channels = 1 if self.heatmap == "raw" else 3
-        est = n_frames * channels * height * width * 2  # fp16
+        elsize = 1 if self.heatmap_dtype == "uint8" else 2
+        est = n_frames * channels * height * width * elsize
         if est > budget:
             raise RuntimeError(
                 f"device_heatmap=True would accumulate ~{est / 2**30:.1f} GiB "
                 f"of heatmap in device memory ({n_frames} frames x {channels} "
-                f"x {height}x{width} fp16), over the "
+                f"x {height}x{width} {self.heatmap_dtype}), over the "
                 f"{budget / 2**30:.1f} GiB budget "
                 f"($FVVDP_DEVICE_HEATMAP_MAX_BYTES). Use device_heatmap="
                 f"False to stream heatmap frames to the host instead")
@@ -626,7 +641,9 @@ class fvvdp:
         heatmap/checkpoint per-block readback is needed, and at least a
         2-block chunk fits the estimated HBM headroom (capacity minus the
         resident raw frames, fixed-gaze CSF tables and block temporaries;
-        override the capacity bound with $FVVDP_SCAN_MAX_BYTES).  Fills
+        override the capacity bound with $FVVDP_SCAN_HBM_CAP_BYTES; the
+        deprecated $FVVDP_SCAN_MAX_BYTES is still honoured as a
+        luminance-chunk budget, its original meaning).  Fills
         ``Q_per_ch`` and returns True, or returns False to fall back to the
         pipelined streaming loop.  Each chunk's luminance is gathered to
         fp32 just before its dispatch and freed after, so the peak working
@@ -646,8 +663,6 @@ class fvvdp:
         n_blocks = -(-N_frames // B)
         total = n_blocks * B
         px = height * width
-        cap = _env_bytes("FVVDP_SCAN_MAX_BYTES", 0) \
-            or self._hbm_capacity_bytes() - (3 << 29)  # alloc/frag slack
         resident = int(getattr(vid_source, "device_resident_bytes",
                                lambda: 0)())
         if static_gaze is not None:
@@ -658,7 +673,26 @@ class fvvdp:
         fixed = resident + _BLOCK_TEMP_BYTES_PER_PX * B * px \
             + (fl - 1) * px * 4 * 2
         per_block_pair = B * px * 4 * 2  # gathered fp32 luminance per block
-        headroom = cap - fixed
+        cap_env = _env_bytes("FVVDP_SCAN_HBM_CAP_BYTES", 0)
+        legacy = _env_bytes("FVVDP_SCAN_MAX_BYTES", 0)
+        if legacy and not cap_env:
+            # honour the pre-rename variable under its ORIGINAL meaning — a
+            # budget for the gathered fp32 luminance chunks themselves — so
+            # an existing "2 GiB" setting still means "scan small videos"
+            # rather than silently flipping to "never scan"
+            logging.warning(
+                "FVVDP_SCAN_MAX_BYTES is deprecated and is interpreted as a "
+                "luminance-chunk budget (its original meaning); set "
+                "FVVDP_SCAN_HBM_CAP_BYTES to bound total device capacity "
+                "instead")
+            headroom = legacy
+        else:
+            cap = cap_env \
+                or self._hbm_capacity_bytes() - (3 << 29)  # alloc/frag slack
+            headroom = cap - fixed
+        logging.debug(
+            f"scan budget: headroom {headroom} B for luminance chunks "
+            f"(fixed working set {fixed} B, per-block pair {per_block_pair} B)")
         if headroom < 2 * per_block_pair:
             # a 1-block chunk would just be the streaming loop without its
             # readback/decode pipelining — not worth taking

@@ -46,8 +46,9 @@ def supports(h: int, w: int) -> bool:
     return w >= 128 and h >= 8
 
 
-def _mov_kernel(V2s_ref, V2t_ref, gaze_ref, vd0_ref, vd1_ref, tr_ref,
-                Ts_ref, Rs_ref, Tt_ref, Rt_ref, L_ref, out_ref, *,
+def _mov_kernel(V2s_ref, V2t_ref, V2sd_ref, V2td_ref, gaze_ref, vd0_ref,
+                vd1_ref, tr_ref, Ts_ref, Rs_ref, Tt_ref, Rt_ref, L_ref,
+                out_ref, *,
                 y0, dy, Ymin, Ymax, es0, des, emin, emax, n_e, ny, nr,
                 off5, p, q_s, q_t, c10, corr, beta):
     """One (row, column) tile of one frame: ecc from the gaze, trilinear
@@ -65,12 +66,18 @@ def _mov_kernel(V2s_ref, V2t_ref, gaze_ref, vd0_ref, vd1_ref, tr_ref,
     u = (jnp.log2(jnp.clip(L, Ymin, Ymax)) - y0) / dy
     u = jnp.clip(u, 0.0, float(ny - 1))
 
-    e0 = jnp.clip(jnp.floor(jnp.min(te)).astype(jnp.int32), 0, n_e - 1)
-    e1 = jnp.clip(jnp.ceil(jnp.max(te)).astype(jnp.int32), 0, n_e - 1)
+    # Window bounds only — sanitize non-finite lanes (NaN luminance / gaze in
+    # user input) so a single bad value cannot yield an implementation-defined
+    # int window that corrupts the whole tile; the offending lanes themselves
+    # still carry NaN through the hat/clip weights below.
+    tef = jnp.where(jnp.isfinite(te), te, 0.0)
+    uf = jnp.where(jnp.isfinite(u), u, 0.0)
+    e0 = jnp.clip(jnp.floor(jnp.min(tef)).astype(jnp.int32), 0, n_e - 1)
+    e1 = jnp.clip(jnp.ceil(jnp.max(tef)).astype(jnp.int32), 0, n_e - 1)
     r0 = jnp.clip(jnp.floor(jnp.min(tr)).astype(jnp.int32), 0, nr - 1)
     r1 = jnp.clip(jnp.ceil(jnp.max(tr)).astype(jnp.int32), 0, nr - 1)
-    yl = jnp.clip(jnp.floor(jnp.min(u)).astype(jnp.int32), 0, ny - 1)
-    yh = jnp.clip(jnp.ceil(jnp.max(u)).astype(jnp.int32), 0, ny - 1)
+    yl = jnp.clip(jnp.floor(jnp.min(uf)).astype(jnp.int32), 0, ny - 1)
+    yh = jnp.clip(jnp.ceil(jnp.max(uf)).astype(jnp.int32), 0, ny - 1)
 
     two = off5 is None
     zero = jnp.zeros_like(u)
@@ -87,19 +94,21 @@ def _mov_kernel(V2s_ref, V2t_ref, gaze_ref, vd0_ref, vd1_ref, tr_ref,
             # knots below contribute their full delta, folded into the base
             # term read directly from the table (cf. table_interp_delta_dyn)
             col = yl * nr + r
-            init = (zero + V2s_ref[e, col],)
+            # u * 0 (not zero) keeps non-finite luminance lanes NaN even
+            # when the sanitized Y window collapses to zero trips
+            init = (u * 0.0 + V2s_ref[e, col],)
             if two:
-                init = init + (zero + V2t_ref[e, col],)
+                init = init + (u * 0.0 + V2t_ref[e, col],)
 
             def y_body(j, ss):
                 y = yl + j
                 cY = jnp.clip(u - y.astype(jnp.float32), 0.0, 1.0)
+                # pre-differenced delta table: ONE SMEM load per knot per
+                # channel in the hot loop instead of two
                 c0 = y * nr + r
-                c1 = c0 + nr
-                out = (ss[0] + (V2s_ref[e, c1] - V2s_ref[e, c0]) * cY,)
+                out = (ss[0] + V2sd_ref[e, c0] * cY,)
                 if two:
-                    out = out + (ss[1] + (V2t_ref[e, c1] - V2t_ref[e, c0])
-                                 * cY,)
+                    out = out + (ss[1] + V2td_ref[e, c0] * cY,)
                 return out
 
             vals = jax.lax.fori_loop(0, yh - yl, y_body, init)
@@ -163,6 +172,15 @@ def _mov_call(Ts, Rs, Tt, Rt, L, t_r, vd0, vd1, gaze, V2s, V2t, meta,
         vd0 = jnp.pad(vd0, pad2, mode="edge")
         vd1 = jnp.pad(vd1, pad2, mode="edge")
 
+    # pre-differenced luminance-axis delta tables: the kernel's hot y-loop
+    # loads one delta per knot per channel instead of two adjacent S values
+    def _ydelta(V2):
+        S = V2.reshape(n_e, ny, nr)
+        if ny > 1:
+            return (S[:, 1:] - S[:, :-1]).reshape(n_e, (ny - 1) * nr)
+        return jnp.zeros((n_e, nr), V2.dtype)  # zero-trip loop; keep SMEM legal
+    V2sd, V2td = _ydelta(V2s), _ydelta(V2t)
+
     smem_full = lambda shape: pl.BlockSpec(
         shape, lambda ct, rt, f: tuple(0 for _ in shape),
         memory_space=pltpu.SMEM)
@@ -177,6 +195,7 @@ def _mov_call(Ts, Rs, Tt, Rt, L, t_r, vd0, vd1, gaze, V2s, V2t, meta,
                           c10=c10, corr=corr, beta=beta),
         grid=(n_ct, n_rt, F),
         in_specs=[smem_full((n_e, ny * nr)), smem_full((n_e, ny * nr)),
+                  smem_full(tuple(V2sd.shape)), smem_full(tuple(V2td.shape)),
                   smem_full((F, 2)), plane_spec, plane_spec, plane_spec]
         + [band_spec] * 5,
         # frames innermost; the (F, 2) tail spans the full array so the
@@ -186,7 +205,7 @@ def _mov_call(Ts, Rs, Tt, Rt, L, t_r, vd0, vd1, gaze, V2s, V2t, meta,
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((n_ct, n_rt, F, 2), Ts.dtype),
         interpret=interpret,
-    )(V2s, V2t, gaze, vd0, vd1, t_r, Ts, Rs, Tt, Rt, L)
+    )(V2s, V2t, V2sd, V2td, gaze, vd0, vd1, t_r, Ts, Rs, Tt, Rt, L)
     return jnp.sum(partials, axis=(0, 1))  # (F, 2) sums of D^beta
 
 

@@ -58,10 +58,17 @@ def table_interp_delta_dyn(rows_ref, u, n_grid, n_rows, shared_delta=False):
     plane per row; with ``shared_delta`` rows 1+ are row 0 plus a scalar
     offset (see table_interp_delta).
     """
-    i0 = jnp.clip(jnp.floor(jnp.min(u)).astype(jnp.int32), 0, n_grid - 1)
-    i1 = jnp.clip(jnp.ceil(jnp.max(u)).astype(jnp.int32), 0, n_grid - 1)
+    # Window bounds only — a non-finite u lane (NaN luminance in user input)
+    # must not poison the int window for the whole strip; the lane itself
+    # still propagates NaN through the clip weights below, confining the
+    # damage exactly as the static unrolled loop did.
+    uf = jnp.where(jnp.isfinite(u), u, 0.0)
+    i0 = jnp.clip(jnp.floor(jnp.min(uf)).astype(jnp.int32), 0, n_grid - 1)
+    i1 = jnp.clip(jnp.ceil(jnp.max(uf)).astype(jnp.int32), 0, n_grid - 1)
     k_rows = 1 if shared_delta else n_rows
-    init = tuple(jnp.zeros_like(u) + rows_ref[k, i0] for k in range(k_rows))
+    # u * 0 (not zeros_like) keeps non-finite lanes NaN even when the knot
+    # window collapses to zero trips (e.g. every lane non-finite)
+    init = tuple(u * 0.0 + rows_ref[k, i0] for k in range(k_rows))
 
     def body(j, accs):
         i = i0 + j

@@ -116,6 +116,10 @@ def parse_args(argv=None):
                         help="accepted for compatibility; JAX selects the accelerator")
     parser.add_argument("--heatmap", type=str, default="none",
                         help="type of difference map (none, raw, threshold, supra-threshold)")
+    parser.add_argument("--heatmap-dtype", choices=["float16", "uint8"],
+                        default="float16",
+                        help="uint8 quantises colormapped heatmaps on device "
+                             "(half the host-readback bytes of float16)")
     parser.add_argument("--features", action="store_true", default=False,
                         help="generate JSON files with extracted features")
     parser.add_argument("--output-dir", type=str, default=None,
@@ -202,6 +206,7 @@ def main(argv=None):
                 display_photometry=display_photometry,
                 display_geometry=display_geometry,
                 foveated=args.foveated, heatmap=heatmap,
+                heatmap_dtype=args.heatmap_dtype,
                 temp_padding=args.temp_padding,
                 block_frames=args.block_frames))
         elif mm == "pu-psnr":
@@ -268,8 +273,10 @@ def main(argv=None):
                 mm.write_features_to_json(stats, dest)
 
             if heatmap and stats is not None and "heatmap" in stats:
-                hm = stats["heatmap"]  # (1, C, F, H, W) fp16
+                hm = stats["heatmap"]  # (1, C, F, H, W) fp16 or uint8
                 hm_np = np.transpose(hm[0], (1, 2, 3, 0)).astype(np.float32)
+                if np.dtype(hm.dtype) == np.uint8:
+                    hm_np /= 255.0  # writers below expect [0, 1] floats
                 if hm.shape[2] > 1:
                     dest = os.path.join(out_dir, base + "_heatmap.mp4")
                     logging.info(f"Writing heat map '{dest}' ...")

@@ -26,7 +26,7 @@ def test_malformed_scan_budget_env_falls_back(monkeypatch):
     tst, ref = _pair()
     fv = fvvdp(display_name="standard_fhd")
     monkeypatch.delenv("FVVDP_DISABLE_SCAN", raising=False)
-    monkeypatch.setenv("FVVDP_SCAN_MAX_BYTES", "not-a-number")
+    monkeypatch.setenv("FVVDP_SCAN_HBM_CAP_BYTES", "not-a-number")
     Q, _ = fv.predict_video_source(_source(fv, tst, ref))
     assert fv._exec_path == "scan"  # default budget applied, not a crash
     assert np.isfinite(Q)
@@ -94,12 +94,12 @@ def test_scan_budget_counts_resident_frames(monkeypatch):
     fixed, per_block = _scan_working_set(fv, vs)
     # enough headroom for a 2-block chunk ONLY if the resident frames were
     # ignored -> must stream
-    monkeypatch.setenv("FVVDP_SCAN_MAX_BYTES",
+    monkeypatch.setenv("FVVDP_SCAN_HBM_CAP_BYTES",
                        str(fixed + 2 * per_block
                            - vs.device_resident_bytes() // 2))
     fv.predict_video_source(vs)
     assert fv._exec_path == "stream"
-    monkeypatch.setenv("FVVDP_SCAN_MAX_BYTES",
+    monkeypatch.setenv("FVVDP_SCAN_HBM_CAP_BYTES",
                        str(fixed + 2 * per_block + 10**4))
     fv.predict_video_source(vs)
     assert fv._exec_path == "scan"
@@ -165,7 +165,7 @@ def test_scan_budget_counts_fov_tables(monkeypatch):
     fixed, per_block = _scan_working_set(fvf, src, table_bytes=tabs)
     # cap admits a 2-block chunk WITHOUT the tables, not with them
     cap = fixed - tabs // 2 + 2 * per_block
-    monkeypatch.setenv("FVVDP_SCAN_MAX_BYTES", str(cap))
+    monkeypatch.setenv("FVVDP_SCAN_HBM_CAP_BYTES", str(cap))
     monkeypatch.delenv("FVVDP_DISABLE_SCAN", raising=False)
     fv = fvvdp(display_name="standard_fhd")
     fv.predict_video_source(_source(fv, tst, ref))

@@ -7,8 +7,10 @@ Usage: python tools/benchmark_grid.py [--frames 1 60] [--repeats 3]
 Prints one JSON line per config.
 
 Every row's JOD is checked against tools/grid_goldens.json (regenerate with
---update-goldens) and the run EXITS NON-ZERO on |dJOD| > 0.01 — perf numbers
-are only published for correct numerics.
+--update-goldens) and the run EXITS NON-ZERO on |dJOD| > 0.01 OR on rows
+with no stored golden — perf numbers are only published for correct
+numerics, and a fresh checkout without the goldens file fails rather than
+passing vacuously.
 """
 import argparse
 import json
@@ -35,10 +37,13 @@ def main():
                     help="write this run's JODs to tools/grid_goldens.json "
                          "instead of asserting against it")
     ap.add_argument("--variants", nargs="+", default=["plain"],
-                    choices=["plain", "heatmap", "heatmap-device", "foveated",
-                             "foveated-moving", "batch"],
+                    choices=["plain", "heatmap", "heatmap-uint8",
+                             "heatmap-device", "foveated",
+                             "foveated-moving", "batch", "config5"],
                     help="heatmap = threshold heatmap rendered+downloaded per "
-                         "block; heatmap-device = rendered on device, output "
+                         "block; heatmap-uint8 = same but quantised to uint8 "
+                         "on device (heatmap_dtype='uint8', half the readback "
+                         "bytes); heatmap-device = rendered on device, output "
                          "left in HBM (device_heatmap=True; timing excludes "
                          "the host readback, which is transport-bound); "
                          "foveated = eccentricity-dependent CSF with a "
@@ -46,7 +51,10 @@ def main():
                          "foveated-moving = per-frame gaze trajectory "
                          "(block-amortised trilinear path; video rows only); "
                          "batch = 8 image pairs in one SPMD program "
-                         "(predict_batch; frames=1 rows only)")
+                         "(predict_batch; frames=1 rows only); "
+                         "config5 = BASELINE config 5 e2e: 1080p 10-bit PQ "
+                         "BT.2020 .yuv files full-screen-resized to 4K on "
+                         "device + threshold heatmap (4K rows, frames>1 only)")
     args = ap.parse_args()
 
     sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1]))
@@ -66,6 +74,11 @@ def main():
         # variant's caches concurrently OOMs the 16 GB chip at the 4K rows.
         if variant == "heatmap":
             return fvvdp(display_name=args.display, heatmap="threshold")
+        if variant == "heatmap-uint8":
+            return fvvdp(display_name=args.display, heatmap="threshold",
+                         heatmap_dtype="uint8")
+        if variant == "config5":
+            return fvvdp(display_name="standard_hdr_pq", heatmap="threshold")
         if variant == "heatmap-device":
             return fvvdp(display_name=args.display, heatmap="threshold",
                          device_heatmap=True)
@@ -137,6 +150,41 @@ def main():
                     }), flush=True)
                     check(f"{W}x{H}/f1/batch", jods[0])
                     continue
+                if variant == "config5":
+                    # BASELINE config 5 is a named 4K workload; skip the
+                    # other grid rows rather than mislabel them
+                    if (W, H) != (3840, 2160) or F == 1:
+                        continue
+                    import tempfile
+                    from fovvideovdp_tpu.video_source_yuv import \
+                        fvvdp_video_source_yuv_file
+                    sys.path.insert(0, os.path.dirname(
+                        os.path.abspath(__file__)))
+                    from synth_media import write_config5_yuv_pair
+                    with tempfile.TemporaryDirectory(
+                            prefix="fvvdp_cfg5_") as tdir:
+                        tst_f, ref_f = write_config5_yuv_pair(tdir, F)
+                        vs5 = fvvdp_video_source_yuv_file(
+                            tst_f, ref_f,
+                            display_photometry="standard_hdr_pq",
+                            full_screen_resize="bilinear",
+                            resize_resolution=[3840, 2160])
+                        Q5, _ = fv.predict_video_source(vs5)  # warm-up
+                        best = None
+                        for _ in range(args.repeats):
+                            t0 = time.time()
+                            Q5, st5 = fv.predict_video_source(vs5)
+                            dt = time.time() - t0
+                            best = dt if best is None else min(best, dt)
+                            st5["heatmap"] = None
+                    print(json.dumps({
+                        "resolution": f"{W}x{H}", "frames": F,
+                        "variant": "config5", "seconds": round(best, 4),
+                        "fps": round(F / best, 2),
+                        "Q_jod": round(float(Q5), 4),
+                    }), flush=True)
+                    check(f"{W}x{H}/f{F}/config5", Q5)
+                    continue
                 fix = None
                 if variant == "foveated-moving":
                     if F == 1:
@@ -187,14 +235,17 @@ def main():
             json.dump(old, f, indent=2, sort_keys=True)
         print(f"# wrote {len(new_goldens)} goldens to {GOLDENS_PATH}",
               file=sys.stderr)
-    elif failures:
+        return 0
+    # a missing goldens file (or missing rows) must FAIL, not silently pass:
+    # the parity gate would otherwise be vacuous on a fresh checkout
+    missing = [k for k in new_goldens if k not in goldens]
+    if missing:
+        failures.append(f"no stored goldens for {missing}; run with "
+                        f"--update-goldens on trusted hardware to pin them")
+    if failures:
         for msg in failures:
             print(f"# PARITY FAILURE: {msg}", file=sys.stderr)
         return 1
-    missing = [k for k in new_goldens if k not in goldens]
-    if missing and not args.update_goldens:
-        print(f"# note: no stored goldens for {missing}; run with "
-              f"--update-goldens to pin them", file=sys.stderr)
     return 0
 
 
