@@ -621,6 +621,31 @@ class fvvdp:
     _SCAN_CHUNK_BLOCKS = (8, 2, 1)
 
     @staticmethod
+    def _wait_for_device_memory(timeout_s: float = 30.0) -> None:
+        """Block until the device accepts a small allocation again.
+
+        After an HBM OOM aborts an async dispatch, the runtime releases the
+        program's buffers asynchronously (and through the axon tunnel, with
+        extra lag) — an immediate follow-up allocation can fail even though
+        the Python references are gone.  Polls a tiny device_put with backoff;
+        gives up silently after ``timeout_s`` (the next real allocation will
+        then raise with full context)."""
+        import gc
+        import time as _time
+        gc.collect()
+        deadline = _time.monotonic() + timeout_s
+        delay = 0.05
+        while True:
+            try:
+                jax.block_until_ready(jax.device_put(np.zeros(8, np.float32)))
+                return
+            except Exception:
+                if _time.monotonic() >= deadline:
+                    return
+                _time.sleep(delay)
+                delay = min(delay * 2, 2.0)
+
+    @staticmethod
     def _hbm_capacity_bytes() -> int:
         """Allocatable device-memory bound for scan working-set planning."""
         try:
@@ -693,12 +718,20 @@ class fvvdp:
         logging.debug(
             f"scan budget: headroom {headroom} B for luminance chunks "
             f"(fixed working set {fixed} B, per-block pair {per_block_pair} B)")
-        if headroom < 2 * per_block_pair:
+        # the moving-gaze scan body keeps per-level view-direction planes and
+        # trilinear LUT state beyond the 37 B/px-frame temp estimate; on
+        # hardware a 4K/60 moving-gaze scan OOMed with the estimate showing
+        # 64 MB of margin while the byte-identical plain estimate fit
+        # (docs/hw_campaign_r4.log stage 2) — demand 25% real margin before
+        # attempting a scan whose failure costs a wasted compile plus an
+        # HBM-recovery stall
+        margin = 1.25 if pass_gaze else 1.0
+        if headroom < 2 * margin * per_block_pair:
             # a 1-block chunk would just be the streaming loop without its
             # readback/decode pipelining — not worth taking
             return False
         rungs = tuple(k for k in self._SCAN_CHUNK_BLOCKS
-                      if k * per_block_pair <= headroom)
+                      if k * margin * per_block_pair <= headroom)
         # padded source schedule: fl-1 warm-up frames + the per-output-frame
         # stream order + the last frame repeated out to a whole block (the
         # tail outputs are sliced away; the temporal window is causal, so
@@ -770,6 +803,20 @@ class fvvdp:
                 raise
             logging.warning(f"scan path exhausted device memory ({e}); "
                             f"falling back to the streaming loop")
+            # The failed dispatch's argument buffers (a multi-GB gathered
+            # luminance chunk) are still referenced by this frame and by the
+            # exception's traceback, and the wedged program may hold them on
+            # device past the Python frees — observed on hardware: after a
+            # 4K moving-gaze scan OOM even a scalar device_put raised
+            # RESOURCE_EXHAUSTED, killing the fallback this handler promises
+            # (docs/hw_campaign_r4.log stage 2).  Drop every chunk-scale
+            # reference, break the traceback cycle, then block until the
+            # device can allocate again before handing over to streaming.
+            e.__traceback__ = None
+            del e
+            head_t = head_r = carry_t = carry_r = t_k = r_k = None
+            Q_chunks = None
+            self._wait_for_device_memory()
             return False
         self._exec_path = "scan"
         return True

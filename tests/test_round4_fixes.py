@@ -240,3 +240,62 @@ def test_config5_scores_on_cpu(tmp_path):
     Q, st = fv.predict_video_source(vs)
     assert np.isfinite(Q)
     assert st["heatmap"].shape[3:] == (270, 480)
+
+
+def test_scan_oom_fallback_recovers_and_streams(monkeypatch):
+    """A scan dispatch that dies with RESOURCE_EXHAUSTED must degrade to the
+    streaming loop AND leave the device allocatable: on hardware the wedged
+    chunk buffers made even a scalar device_put fail afterwards
+    (docs/hw_campaign_r4.log stage 2), killing the promised fallback."""
+    from fovvideovdp_tpu import core as core_mod
+
+    tst, ref = _pair(F=6)
+    fv = fvvdp(display_name="standard_fhd")
+    monkeypatch.delenv("FVVDP_DISABLE_SCAN", raising=False)
+    vs = fvvdp_video_source_array(tst, ref, 30, dim_order="HWCF",
+                                  display_photometry=fv.display_photometry)
+    Q_ref, _ = fv.predict_video_source(vs)
+    assert fv._exec_path == "scan"
+
+    waited = []
+    monkeypatch.setattr(
+        type(fv), "_wait_for_device_memory",
+        staticmethod(lambda timeout_s=30.0: waited.append(1)))
+    real_scan_fn = core_mod.MetricCore.video_scan_fn
+
+    def exploding_scan_fn(self, *a, **k):
+        raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error "
+                           "(ResourceExhausted).")
+
+    monkeypatch.setattr(core_mod.MetricCore, "video_scan_fn",
+                        exploding_scan_fn)
+    Q_fb, _ = fv.predict_video_source(vs)
+    assert fv._exec_path == "stream"
+    assert waited, "fallback must wait for HBM to become allocatable again"
+    assert Q_fb == pytest.approx(Q_ref, abs=1e-3)
+    monkeypatch.setattr(core_mod.MetricCore, "video_scan_fn", real_scan_fn)
+
+
+def test_moving_gaze_scan_budget_margin(monkeypatch):
+    """pass_gaze scans need 25% headroom margin: with headroom between 2x
+    and 2.5x the per-block pair, a moving-gaze video must skip the scan
+    attempt (hardware-calibrated: a 4K/60 moving-gaze scan with 64 MB of
+    estimated margin OOMed where the same-estimate plain scan fit)."""
+    tst, ref = _pair(F=9)
+    fv = fvvdp(display_name="standard_fhd", foveated=True, block_frames=4)
+    fix = np.stack([np.linspace(5, 58, 9), np.linspace(5, 42, 9)], axis=1)
+    vs_kw = dict(dim_order="HWCF", display_photometry=fv.display_photometry)
+    monkeypatch.delenv("FVVDP_DISABLE_SCAN", raising=False)
+
+    per_block_pair = 4 * 48 * 64 * 4 * 2
+    # legacy var = luminance-chunk headroom, its original meaning: 2.2x the
+    # block pair passes the plain gate (2.0x) but not the moving one (2.5x)
+    monkeypatch.setenv("FVVDP_SCAN_MAX_BYTES", str(int(2.2 * per_block_pair)))
+    vs = fvvdp_video_source_array(tst, ref, 30, **vs_kw)
+    fv.predict_video_source(vs, fixation_point=fix)
+    assert fv._exec_path == "stream"
+
+    fv2 = fvvdp(display_name="standard_fhd", block_frames=4)
+    vs2 = fvvdp_video_source_array(tst, ref, 30, **vs_kw)
+    fv2.predict_video_source(vs2)
+    assert fv2._exec_path == "scan"

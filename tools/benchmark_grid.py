@@ -116,6 +116,110 @@ def main():
             failures.append(f"{key}: JOD {float(Q):.4f} vs golden "
                             f"{goldens[key]} (|d| > {JOD_TOL})")
 
+    def flush_goldens():
+        old = {}
+        if os.path.isfile(GOLDENS_PATH):
+            with open(GOLDENS_PATH, encoding="utf-8") as f:
+                old = json.load(f)
+        old.update(new_goldens)
+        with open(GOLDENS_PATH, "w", encoding="utf-8") as f:
+            json.dump(old, f, indent=2, sort_keys=True)
+
+    def run_row(fv, variant, W, H, F):
+        ref, tst = row_data(W, H, F)
+        fps = 0 if F == 1 else 30
+        if variant == "batch":
+            if F != 1:
+                return  # the batch row measures image pairs
+            Nb = 8
+            tst_b = np.repeat(tst[None, ..., 0], Nb, axis=0)
+            ref_b = np.repeat(ref[None, ..., 0], Nb, axis=0)
+            jods, _ = fv.predict_batch(tst_b, ref_b,
+                                       dim_order="BHWC")  # warm-up
+            best = None
+            for _ in range(args.repeats):
+                t0 = time.time()
+                jods, _ = fv.predict_batch(tst_b, ref_b, dim_order="BHWC")
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            print(json.dumps({
+                "resolution": f"{W}x{H}", "frames": 1,
+                "variant": "batch", "pairs": Nb,
+                "seconds": round(best, 4),
+                "pairs_per_s": round(Nb / best, 2),
+                "Q_jod": round(float(jods[0]), 4),
+            }), flush=True)
+            check(f"{W}x{H}/f1/batch", jods[0])
+            return
+        if variant == "config5":
+            # BASELINE config 5 is a named 4K workload; skip the
+            # other grid rows rather than mislabel them
+            if (W, H) != (3840, 2160) or F == 1:
+                return
+            import tempfile
+            from fovvideovdp_tpu.video_source_yuv import \
+                fvvdp_video_source_yuv_file
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from synth_media import write_config5_yuv_pair
+            with tempfile.TemporaryDirectory(prefix="fvvdp_cfg5_") as tdir:
+                tst_f, ref_f = write_config5_yuv_pair(tdir, F)
+                vs5 = fvvdp_video_source_yuv_file(
+                    tst_f, ref_f,
+                    display_photometry="standard_hdr_pq",
+                    full_screen_resize="bilinear",
+                    resize_resolution=[3840, 2160])
+                Q5, _ = fv.predict_video_source(vs5)  # warm-up
+                best = None
+                for _ in range(args.repeats):
+                    t0 = time.time()
+                    Q5, st5 = fv.predict_video_source(vs5)
+                    dt = time.time() - t0
+                    best = dt if best is None else min(best, dt)
+                    st5["heatmap"] = None
+            print(json.dumps({
+                "resolution": f"{W}x{H}", "frames": F,
+                "variant": "config5", "seconds": round(best, 4),
+                "fps": round(F / best, 2),
+                "Q_jod": round(float(Q5), 4),
+            }), flush=True)
+            check(f"{W}x{H}/f{F}/config5", Q5)
+            return
+        fix = None
+        if variant == "foveated-moving":
+            if F == 1:
+                return  # the moving-gaze row measures video blocks
+            fix = np.stack([np.linspace(10, W - 10, F),
+                            np.linspace(10, H - 10, F)]).T
+        vs = fvvdp_video_source_array(
+            tst, ref, fps, dim_order="HWCF",
+            display_photometry=fv.display_photometry)
+
+        def score():
+            Q, st = fv.predict_video_source(vs, fixation_point=fix)
+            if variant == "heatmap-device":
+                # the heatmap stays in HBM; block on it so the
+                # timing covers the render, then drop the reference
+                # so repeats don't accumulate 4K x 60 fp16 buffers
+                import jax
+                jax.block_until_ready(st["heatmap"])
+                st["heatmap"] = None
+            return Q
+
+        Q = score()
+        best = None
+        for _ in range(args.repeats):
+            t0 = time.time()
+            Q = score()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        print(json.dumps({
+            "resolution": f"{W}x{H}", "frames": F, "variant": variant,
+            "seconds": round(best, 4),
+            "fps": round(F / best, 2),
+            "Q_jod": round(float(Q), 4),
+        }), flush=True)
+        check(f"{W}x{H}/f{F}/{variant}", Q)
+
     resolutions = RESOLUTIONS
     if args.resolutions:
         resolutions = [tuple(int(v) for v in r.lower().split("x"))
@@ -124,117 +228,32 @@ def main():
         for variant in args.variants:
             fv = make_metric(variant)
             for F in args.frames:
-                ref, tst = row_data(W, H, F)
-                fps = 0 if F == 1 else 30
-                if variant == "batch":
-                    if F != 1:
-                        continue  # the batch row measures image pairs
-                    Nb = 8
-                    tst_b = np.repeat(tst[None, ..., 0], Nb, axis=0)
-                    ref_b = np.repeat(ref[None, ..., 0], Nb, axis=0)
-                    jods, _ = fv.predict_batch(tst_b, ref_b,
-                                               dim_order="BHWC")  # warm-up
-                    best = None
-                    for _ in range(args.repeats):
-                        t0 = time.time()
-                        jods, _ = fv.predict_batch(tst_b, ref_b,
-                                                   dim_order="BHWC")
-                        dt = time.time() - t0
-                        best = dt if best is None else min(best, dt)
-                    print(json.dumps({
-                        "resolution": f"{W}x{H}", "frames": 1,
-                        "variant": "batch", "pairs": Nb,
-                        "seconds": round(best, 4),
-                        "pairs_per_s": round(Nb / best, 2),
-                        "Q_jod": round(float(jods[0]), 4),
-                    }), flush=True)
-                    check(f"{W}x{H}/f1/batch", jods[0])
-                    continue
-                if variant == "config5":
-                    # BASELINE config 5 is a named 4K workload; skip the
-                    # other grid rows rather than mislabel them
-                    if (W, H) != (3840, 2160) or F == 1:
-                        continue
-                    import tempfile
-                    from fovvideovdp_tpu.video_source_yuv import \
-                        fvvdp_video_source_yuv_file
-                    sys.path.insert(0, os.path.dirname(
-                        os.path.abspath(__file__)))
-                    from synth_media import write_config5_yuv_pair
-                    with tempfile.TemporaryDirectory(
-                            prefix="fvvdp_cfg5_") as tdir:
-                        tst_f, ref_f = write_config5_yuv_pair(tdir, F)
-                        vs5 = fvvdp_video_source_yuv_file(
-                            tst_f, ref_f,
-                            display_photometry="standard_hdr_pq",
-                            full_screen_resize="bilinear",
-                            resize_resolution=[3840, 2160])
-                        Q5, _ = fv.predict_video_source(vs5)  # warm-up
-                        best = None
-                        for _ in range(args.repeats):
-                            t0 = time.time()
-                            Q5, st5 = fv.predict_video_source(vs5)
-                            dt = time.time() - t0
-                            best = dt if best is None else min(best, dt)
-                            st5["heatmap"] = None
-                    print(json.dumps({
-                        "resolution": f"{W}x{H}", "frames": F,
-                        "variant": "config5", "seconds": round(best, 4),
-                        "fps": round(F / best, 2),
-                        "Q_jod": round(float(Q5), 4),
-                    }), flush=True)
-                    check(f"{W}x{H}/f{F}/config5", Q5)
-                    continue
-                fix = None
-                if variant == "foveated-moving":
-                    if F == 1:
-                        continue  # the moving-gaze row measures video blocks
-                    fix = np.stack([np.linspace(10, W - 10, F),
-                                    np.linspace(10, H - 10, F)]).T
-                vs = fvvdp_video_source_array(
-                    tst, ref, fps, dim_order="HWCF",
-                    display_photometry=fv.display_photometry)
-
-                def score():
-                    Q, st = fv.predict_video_source(vs, fixation_point=fix)
-                    if variant == "heatmap-device":
-                        # the heatmap stays in HBM; block on it so the
-                        # timing covers the render, then drop the reference
-                        # so repeats don't accumulate 4K x 60 fp16 buffers
-                        import jax
-                        jax.block_until_ready(st["heatmap"])
-                        st["heatmap"] = None
-                    return Q
-
-                Q = score()
-                best = None
-                for _ in range(args.repeats):
-                    t0 = time.time()
-                    Q = score()
-                    dt = time.time() - t0
-                    best = dt if best is None else min(best, dt)
-                print(json.dumps({
-                    "resolution": f"{W}x{H}", "frames": F, "variant": variant,
-                    "seconds": round(best, 4),
-                    "fps": round(F / best, 2),
-                    "Q_jod": round(float(Q), 4),
-                }), flush=True)
-                check(f"{W}x{H}/f{F}/{variant}", Q)
-                del vs
+                # rows are independent measurements: one row crashing (e.g.
+                # an HBM OOM at 4K) must not take down the rest of the grid
+                # or lose the goldens accumulated so far
+                try:
+                    run_row(fv, variant, W, H, F)
+                except Exception as e:
+                    failures.append(
+                        f"{key_prefix}{W}x{H}/f{F}/{variant}: crashed: "
+                        f"{type(e).__name__}: {str(e)[:300]}")
+                    print(f"# ROW FAILED {W}x{H}/f{F}/{variant}: "
+                          f"{type(e).__name__}: {str(e)[:300]}",
+                          file=sys.stderr, flush=True)
+                if args.update_goldens and new_goldens:
+                    flush_goldens()  # incremental: survive later crashes
                 gc.collect()
             del fv
             gc.collect()
 
     if args.update_goldens:
-        old = {}
-        if os.path.isfile(GOLDENS_PATH):
-            with open(GOLDENS_PATH, encoding="utf-8") as f:
-                old = json.load(f)
-        old.update(new_goldens)
-        with open(GOLDENS_PATH, "w", encoding="utf-8") as f:
-            json.dump(old, f, indent=2, sort_keys=True)
+        flush_goldens()
         print(f"# wrote {len(new_goldens)} goldens to {GOLDENS_PATH}",
               file=sys.stderr)
+        if failures:
+            for msg in failures:
+                print(f"# ROW FAILURE: {msg}", file=sys.stderr)
+            return 1
         return 0
     # a missing goldens file (or missing rows) must FAIL, not silently pass:
     # the parity gate would otherwise be vacuous on a fresh checkout
