@@ -31,6 +31,7 @@ no content mapping).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -48,7 +49,7 @@ def supports(h: int, w: int) -> bool:
 
 def _mov_kernel(V2s_ref, V2t_ref, V2sd_ref, V2td_ref, gaze_ref, vd0_ref,
                 vd1_ref, tr_ref, Ts_ref, Rs_ref, Tt_ref, Rt_ref, L_ref,
-                out_ref, *,
+                out_ref, rwin_ref, *,
                 y0, dy, Ymin, Ymax, es0, des, emin, emax, n_e, ny, nr,
                 off5, p, q_s, q_t, c10, corr, beta):
     """One (row, column) tile of one frame: ecc from the gaze, trilinear
@@ -74,8 +75,18 @@ def _mov_kernel(V2s_ref, V2t_ref, V2sd_ref, V2td_ref, gaze_ref, vd0_ref,
     uf = jnp.where(jnp.isfinite(u), u, 0.0)
     e0 = jnp.clip(jnp.floor(jnp.min(tef)).astype(jnp.int32), 0, n_e - 1)
     e1 = jnp.clip(jnp.ceil(jnp.max(tef)).astype(jnp.int32), 0, n_e - 1)
-    r0 = jnp.clip(jnp.floor(jnp.min(tr)).astype(jnp.int32), 0, nr - 1)
-    r1 = jnp.clip(jnp.ceil(jnp.max(tr)).astype(jnp.int32), 0, nr - 1)
+
+    # the rho coordinate plane is static: its window survives the whole
+    # frame block, so the two tile reductions run once per tile (f == 0,
+    # the innermost grid axis) and land in SMEM scratch for the rest
+    @pl.when(f == 0)
+    def _():
+        rwin_ref[0] = jnp.clip(jnp.floor(jnp.min(tr)).astype(jnp.int32),
+                               0, nr - 1)
+        rwin_ref[1] = jnp.clip(jnp.ceil(jnp.max(tr)).astype(jnp.int32),
+                               0, nr - 1)
+    r0 = rwin_ref[0]
+    r1 = rwin_ref[1]
     yl = jnp.clip(jnp.floor(jnp.min(uf)).astype(jnp.int32), 0, ny - 1)
     yh = jnp.clip(jnp.ceil(jnp.max(uf)).astype(jnp.int32), 0, ny - 1)
 
@@ -101,17 +112,26 @@ def _mov_kernel(V2s_ref, V2t_ref, V2sd_ref, V2td_ref, gaze_ref, vd0_ref,
                 init = init + (u * 0.0 + V2t_ref[e, col],)
 
             def y_body(j, ss):
-                y = yl + j
-                cY = jnp.clip(u - y.astype(jnp.float32), 0.0, 1.0)
+                # 2x unrolled: knot pairs halve the loop-carried scalar-load
+                # serialization; the possible overhang knot (odd trip count,
+                # y == yh) is EXACT via the telescoped form — its weight
+                # clip(u - yh, 0, 1) is 0 for every finite lane, and the
+                # delta table carries a padded zero row so the load at row
+                # yh stays in bounds (see _ydelta)
+                y = yl + 2 * j
+                cA = jnp.clip(u - y.astype(jnp.float32), 0.0, 1.0)
+                cB = jnp.clip(u - (y + 1).astype(jnp.float32), 0.0, 1.0)
                 # pre-differenced delta table: ONE SMEM load per knot per
                 # channel in the hot loop instead of two
                 c0 = y * nr + r
-                out = (ss[0] + V2sd_ref[e, c0] * cY,)
+                out = (ss[0] + V2sd_ref[e, c0] * cA
+                       + V2sd_ref[e, c0 + nr] * cB,)
                 if two:
-                    out = out + (ss[1] + V2td_ref[e, c0] * cY,)
+                    out = out + (ss[1] + V2td_ref[e, c0] * cA
+                                 + V2td_ref[e, c0 + nr] * cB,)
                 return out
 
-            vals = jax.lax.fori_loop(0, yh - yl, y_body, init)
+            vals = jax.lax.fori_loop(0, (yh - yl + 1) // 2, y_body, init)
             out = (accs[0] + w * vals[0],)
             if two:
                 out = out + (accs[1] + w * vals[1],)
@@ -134,16 +154,25 @@ def _mov_kernel(V2s_ref, V2t_ref, V2sd_ref, V2td_ref, gaze_ref, vd0_ref,
 
 
 def _mov_tile_shape(h: int, w: int):
-    """(TR, CB): smallish tiles keep the per-tile knot windows tight (the
-    loops run over [floor(min), ceil(max)] of each coordinate), and there
-    are no heavy table blocks to amortise."""
-    best = None
-    for cb in (512, 384, 256, 128):
-        wp = ceildiv(w, cb) * cb
-        if best is None or wp < best[1]:
-            best = (cb, wp)
-    CB, _ = best
-    TR = min(32, max(8, 16384 // CB))
+    """(TR, CB): NARROW, TALL tiles.  The knot-window loops run over
+    [floor(min), ceil(max)] of each coordinate per tile, and tile WIDTH is
+    what widens the eccentricity window (a 512-px-wide tile spans tens of
+    visual degrees; rows are cheap — the window adds in quadrature), so
+    CB = 128 (the lane width) minimises trip counts; height then amortises
+    the per-tile scalar window setup.  Hardware scan (2026-08-20, v5e,
+    1440x1600 vive levels 0-2, moving-ms / moving-vs-fixed ratio):
+    old CB512,TR32 184/1.60x; CB128: TR8 254, TR16 185, TR32 144/1.33x,
+    **TR64 138/1.22x**, TR96 140/1.21x; TR=48/128 compile 10x slower
+    (non-power-of-2 / register pressure).  FVVDP_MOV_TR / FVVDP_MOV_CB
+    override for perf experiments (multiples of 8 / 128)."""
+    CB = 128
+    TR = 64 if h >= 64 else max(8, ceildiv(h, 8) * 8)
+    env = os.environ.get("FVVDP_MOV_TR")
+    if env:
+        TR = max(8, (int(env) // 8) * 8)
+    env = os.environ.get("FVVDP_MOV_CB")
+    if env:
+        CB = max(128, (int(env) // 128) * 128)
     return TR, CB
 
 
@@ -173,11 +202,16 @@ def _mov_call(Ts, Rs, Tt, Rt, L, t_r, vd0, vd1, gaze, V2s, V2t, meta,
         vd1 = jnp.pad(vd1, pad2, mode="edge")
 
     # pre-differenced luminance-axis delta tables: the kernel's hot y-loop
-    # loads one delta per knot per channel instead of two adjacent S values
+    # loads one delta per knot per channel instead of two adjacent S values.
+    # One zero row is appended so the 2x-unrolled loop's overhang knot
+    # (row index up to yh <= ny-1, weight exactly 0) stays in bounds.
     def _ydelta(V2):
         S = V2.reshape(n_e, ny, nr)
         if ny > 1:
-            return (S[:, 1:] - S[:, :-1]).reshape(n_e, (ny - 1) * nr)
+            d = jnp.concatenate(
+                [S[:, 1:] - S[:, :-1], jnp.zeros((n_e, 1, nr), V2.dtype)],
+                axis=1)
+            return d.reshape(n_e, ny * nr)
         return jnp.zeros((n_e, nr), V2.dtype)  # zero-trip loop; keep SMEM legal
     V2sd, V2td = _ydelta(V2s), _ydelta(V2t)
 
@@ -204,6 +238,7 @@ def _mov_call(Ts, Rs, Tt, Rt, L, t_r, vd0, vd1, gaze, V2s, V2t, meta,
         out_specs=pl.BlockSpec((1, 1, F, 2), lambda ct, rt, f: (ct, rt, 0, 0),
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((n_ct, n_rt, F, 2), Ts.dtype),
+        scratch_shapes=[pltpu.SMEM((2,), jnp.int32)],
         interpret=interpret,
     )(V2s, V2t, V2sd, V2td, gaze, vd0, vd1, t_r, Ts, Rs, Tt, Rt, L)
     return jnp.sum(partials, axis=(0, 1))  # (F, 2) sums of D^beta

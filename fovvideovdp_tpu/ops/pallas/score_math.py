@@ -71,12 +71,21 @@ def table_interp_delta_dyn(rows_ref, u, n_grid, n_rows, shared_delta=False):
     init = tuple(u * 0.0 + rows_ref[k, i0] for k in range(k_rows))
 
     def body(j, accs):
-        i = i0 + j
-        c = jnp.clip(u - i.astype(u.dtype), 0.0, 1.0)
-        return tuple(accs[k] + (rows_ref[k, i + 1] - rows_ref[k, i]) * c
+        # 2x unrolled: knot pairs halve the loop-carried scalar-load
+        # serialization.  The possible overhang knot (odd trip count,
+        # i == i1) is exact: its clip weight is 0 for every finite lane
+        # (u <= i1), so the clamped in-bounds load value is irrelevant.
+        iA = i0 + 2 * j
+        iB = iA + 1
+        iBc = jnp.minimum(iB, n_grid - 2)
+        cA = jnp.clip(u - iA.astype(u.dtype), 0.0, 1.0)
+        cB = jnp.clip(u - iB.astype(u.dtype), 0.0, 1.0)
+        return tuple(accs[k]
+                     + (rows_ref[k, iA + 1] - rows_ref[k, iA]) * cA
+                     + (rows_ref[k, iBc + 1] - rows_ref[k, iBc]) * cB
                      for k in range(k_rows))
 
-    outs = list(jax.lax.fori_loop(0, i1 - i0, body, init))
+    outs = list(jax.lax.fori_loop(0, (i1 - i0 + 1) // 2, body, init))
     if shared_delta:
         outs += [outs[0] + (rows_ref[k, 0] - rows_ref[0, 0])
                  for k in range(1, n_rows)]

@@ -299,3 +299,49 @@ def test_moving_gaze_scan_budget_margin(monkeypatch):
     vs2 = fvvdp_video_source_array(tst, ref, 30, **vs_kw)
     fv2.predict_video_source(vs2)
     assert fv2._exec_path == "scan"
+
+
+# ---------------------------------------------------------------------------
+# 2x-unrolled dynamic knot loops: parity with the static form at every
+# window-parity edge case (even/odd trip counts, width-1, collapsed, and
+# windows touching the top knot — where the overhang knot's clamped load and
+# zero clip weight must be exact)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("lo,hi", [
+    (2.0, 6.0),    # i0=2, i1=6: even trips
+    (2.0, 7.0),    # odd trips -> overhang knot
+    (3.2, 4.1),    # width-1 window (single unrolled pair)
+    (5.0, 5.0),    # collapsed: u exactly on a knot, zero trips
+    (9.3, 11.0),   # i1 = n_grid-1: overhang at the top knot boundary
+    (0.0, 11.0),   # full range
+])
+def test_dyn_interp_unroll_window_parity(lo, hi):
+    import jax.numpy as jnp
+
+    from fovvideovdp_tpu.ops.pallas import score_math
+
+    rng = np.random.RandomState(11)
+    n_grid, n_rows = 12, 2
+    rows = jnp.asarray(rng.randn(n_rows, n_grid).astype(np.float32))
+    u = jnp.asarray(rng.uniform(lo, hi, (8, 128)).astype(np.float32))
+    # pin the window ends exactly so the intended (i0, i1) is reached
+    u = u.at[0, 0].set(lo).at[0, 1].set(hi)
+
+    ref = score_math.table_interp_delta(
+        [rows[k] for k in range(n_rows)], u, n_grid)
+    got = score_math.table_interp_delta_dyn(rows, u, n_grid, n_rows)
+    for k in range(n_rows):
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
+                                   rtol=1e-6, atol=1e-6)
+
+    # shared_delta: rows 1+ are row 0 plus a scalar offset
+    rows_sh = jnp.stack([rows[0], rows[0] + 0.375])
+    ref_sh = score_math.table_interp_delta(
+        [rows_sh[k] for k in range(2)], u, n_grid, shared_delta=True)
+    got_sh = score_math.table_interp_delta_dyn(rows_sh, u, n_grid, 2,
+                                               shared_delta=True)
+    for k in range(2):
+        np.testing.assert_allclose(np.asarray(got_sh[k]),
+                                   np.asarray(ref_sh[k]),
+                                   rtol=1e-6, atol=1e-6)
