@@ -345,3 +345,21 @@ def test_dyn_interp_unroll_window_parity(lo, hi):
         np.testing.assert_allclose(np.asarray(got_sh[k]),
                                    np.asarray(ref_sh[k]),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_mov_tile_shape_heuristic(monkeypatch):
+    """CB is pinned to the 128 lane width (tile width drives the in-kernel
+    eccentricity window), TR=64 amortises scalar window setup, short levels
+    shrink TR to fit, and the perf-experiment env overrides round to legal
+    multiples."""
+    from fovvideovdp_tpu.ops.pallas.mov_score import _mov_tile_shape
+
+    monkeypatch.delenv("FVVDP_MOV_TR", raising=False)
+    monkeypatch.delenv("FVVDP_MOV_CB", raising=False)
+    assert _mov_tile_shape(1600, 1440) == (64, 128)
+    assert _mov_tile_shape(2160, 3840) == (64, 128)
+    assert _mov_tile_shape(40, 256) == (40, 128)   # short level: TR fits h
+    assert _mov_tile_shape(9, 128) == (16, 128)    # rounded up to 8s
+    monkeypatch.setenv("FVVDP_MOV_TR", "37")
+    monkeypatch.setenv("FVVDP_MOV_CB", "300")
+    assert _mov_tile_shape(1600, 1440) == (32, 256)
