@@ -146,12 +146,17 @@ def main():
     Q_video, _ = fv.predict_video_source(vs)
     compile_s = time.time() - t0
 
-    best = None
-    for _ in range(3):
+    # >= 5 warm repeats with published min/median/max: single best-of-N
+    # numbers made round-over-round deltas unreadable (a 3% "regression"
+    # between rounds sat inside the 5-9% run-to-run transport jitter
+    # observed on this tunnel)
+    times = []
+    for _ in range(5):
         t0 = time.time()
         Q_video, _ = fv.predict_video_source(vs)
-        dt = time.time() - t0
-        best = dt if best is None else min(best, dt)
+        times.append(time.time() - t0)
+    best = min(times)
+    med = float(np.median(times))
     fps_throughput = n_frames / best
 
     # ancillary: per-image-pair latency at 4K, two honest numbers
@@ -184,7 +189,9 @@ def main():
     check_parity(failures)
 
     print(f"# first-call (compile+upload) {compile_s:.1f}s | warm-cache "
-          f"60-frame 4K video {best:.2f}s ({fps_throughput:.1f} fps) | 4K "
+          f"60-frame 4K video min {best:.2f}s / median {med:.2f}s / max "
+          f"{max(times):.2f}s over {len(times)} repeats ({fps_throughput:.1f} "
+          f"fps at min, {n_frames / med:.1f} at median) | 4K "
           f"image pair {img_ms:.0f} ms device-resident / {img_cold_ms:.0f} ms "
           f"cold incl. transfer | Q={Q_video:.4f} | device "
           f"{jax.devices()[0].device_kind}", file=sys.stderr)
@@ -202,9 +209,14 @@ def main():
         "vs_baseline": round(fps_throughput / 30.0, 3),
         # tracked round-over-round: process start -> first 4K video JOD
         # (compile or persistent-cache load + upload), and the pure scoring
-        # latency of a warm process
+        # latency of a warm process.  warm_video_s stays the min (the
+        # historical definition); the median and [min, median, max] spread
+        # make a real regression distinguishable from transport jitter.
         "first_call_s": round(compile_s, 1),
         "warm_video_s": round(best, 3),
+        "warm_video_s_median": round(med, 3),
+        "spread": [round(t, 3) for t in
+                   (min(times), med, max(times))],
     }))
 
 

@@ -201,7 +201,15 @@ class MetricCore:
         (pixels, n_e) x (n_e, n_y*n_r) matmul per frame), plus the static
         per-pixel rho weights.  The omega=5 LUT reduces to a scalar log2-S
         offset when the temporal modulation factors out of the Daly CSF
-        (true for the shipped calibration pair)."""
+        (true for the shipped calibration pair).
+
+        The cache holds HOST (numpy) arrays on purpose: this method is
+        first reached inside a trace (jit/shard_map), where a ``jnp``
+        conversion returns a trace-local TRACER — caching that leaks it
+        into every later program using the same core (observed as
+        UnexpectedTracerError when a sharded block trace preceded a sharded
+        scan trace).  Each consuming trace lifts the numpy constants
+        itself."""
         if bb in self._mov_cache:
             return self._mov_cache[bb]
         lut = self.luts[0]
@@ -232,14 +240,16 @@ class MetricCore:
                                 np.float32(np.asarray(lut["rho"])[-1])))
             u = np.clip((q - grid[0]) / dx, np.float32(0.0),
                         np.float32(grid.shape[0] - 1))
-            t_r = jnp.asarray(np.clip(u - np.float32(r_lo),
-                                      0.0, np.float32(nr - 1)))
+            t_r = np.asarray(np.clip(u - np.float32(r_lo),
+                                     0.0, np.float32(nr - 1)), np.float32)
         data = {
-            "V2": jnp.asarray(S0.reshape(ny * nr, ne).T.copy()),
+            "V2": np.ascontiguousarray(S0.reshape(ny * nr, ne).T,
+                                       dtype=np.float32),
             "V2_5": None if off5 is not None
-            else jnp.asarray(S5.reshape(ny * nr, ne).T.copy()),
+            else np.ascontiguousarray(S5.reshape(ny * nr, ne).T,
+                                      dtype=np.float32),
             "off5": off5,
-            "w_r": jnp.asarray(w_r.reshape(-1, nr)),  # (pixels, n_r)
+            "w_r": np.asarray(w_r.reshape(-1, nr), np.float32),  # (px, n_r)
             "t_r": t_r,
             "ny": ny, "nr": nr,
         }

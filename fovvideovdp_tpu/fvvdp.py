@@ -221,6 +221,12 @@ class fvvdp:
             kind, core, mesh = key[0], key[1], key[2]
             if kind == "image":
                 self._shard_fns[key] = shard_image_fn(core, mesh)
+            elif kind == "videoscan":
+                from fovvideovdp_tpu.parallel import shard_video_scan_fn
+                _, _, _, _, B, k, use_tables, log_c = key
+                self._shard_fns[key] = shard_video_scan_fn(
+                    core, filt, mesh, B, k, log_contrast=log_c,
+                    defer_tables=use_tables)
             else:
                 _, _, _, _, use_tables, log_c = key
                 self._shard_fns[key] = shard_video_block_step_fn(
@@ -412,11 +418,11 @@ class fvvdp:
             stream_idx = pad_idx[fl - 1:]  # frame index feeding each output frame
 
             self._exec_path = "stream"  # introspection for tests/diagnostics
-            scanned = (mesh is None and not checkpoint_path
+            scanned = (not checkpoint_path
                        and self._try_scan_video(
                            vid_source, core, filt, fl, B, pad_idx, stream_idx,
                            Q_per_ch, static_gaze, fixation_point, pass_gaze,
-                           log_c, N_frames, height, width))
+                           log_c, N_frames, height, width, mesh=mesh))
             if not scanned:
                 if checkpoint_path and self.do_heatmap:
                     raise RuntimeError("checkpoint_path is not supported together "
@@ -621,7 +627,19 @@ class fvvdp:
     _SCAN_CHUNK_BLOCKS = (8, 2, 1)
 
     @staticmethod
-    def _wait_for_device_memory(timeout_s: float = 30.0) -> None:
+    def _oom_like(e: Exception) -> bool:
+        """Does this exception look like a device-memory exhaustion?  Through
+        the axon tunnel a compile-time HBM OOM surfaces as an opaque INTERNAL
+        remote_compile HTTP 500 (the 'Ran out of memory in memory space hbm'
+        detail stays in the terminal log), so that shape counts too."""
+        msg = str(e)
+        return ("RESOURCE_EXHAUSTED" in msg
+                or "Resource exhausted" in msg
+                or "Ran out of memory" in msg
+                or ("remote_compile" in msg and "HTTP 500" in msg))
+
+    @classmethod
+    def _wait_for_device_memory(cls, timeout_s: float = 30.0) -> None:
         """Block until the device accepts a small allocation again.
 
         After an HBM OOM aborts an async dispatch, the runtime releases the
@@ -629,7 +647,9 @@ class fvvdp:
         extra lag) — an immediate follow-up allocation can fail even though
         the Python references are gone.  Polls a tiny device_put with backoff;
         gives up silently after ``timeout_s`` (the next real allocation will
-        then raise with full context)."""
+        then raise with full context).  Only resource-exhausted-shaped errors
+        are retried — a wedged or disconnected backend fails fast so its real
+        error surfaces downstream instead of after a silent 30 s stall."""
         import gc
         import time as _time
         gc.collect()
@@ -639,8 +659,14 @@ class fvvdp:
             try:
                 jax.block_until_ready(jax.device_put(np.zeros(8, np.float32)))
                 return
-            except Exception:
+            except Exception as e:
+                if not cls._oom_like(e):
+                    logging.debug(f"_wait_for_device_memory: non-OOM probe "
+                                  f"error, not retrying: {e}")
+                    return
                 if _time.monotonic() >= deadline:
+                    logging.debug("_wait_for_device_memory: device still "
+                                  "refusing allocations at the deadline")
                     return
                 _time.sleep(delay)
                 delay = min(delay * 2, 2.0)
@@ -658,8 +684,14 @@ class fvvdp:
 
     def _try_scan_video(self, vid_source, core, filt, fl, B, pad_idx,
                         stream_idx, Q_per_ch, static_gaze, fixation_point,
-                        pass_gaze, log_c, N_frames, height, width):
+                        pass_gaze, log_c, N_frames, height, width, mesh=None):
         """Score the video in a few chained scan dispatches when safe.
+
+        With ``mesh`` set, each chunk is ONE SPMD program over the whole
+        mesh: the scan body is the sharded streaming step (every block's B
+        frames shard over the devices), so an n-chip mesh also scores a
+        whole video in a handful of dispatches instead of one per block —
+        see parallel.shard_video_scan_fn.
 
         Engages when the source's luminance blocks are pure device-side
         slices (so streaming's pipelining has no host work left to hide), no
@@ -760,17 +792,40 @@ class fvvdp:
             else:
                 carry_t, carry_r = head_t, head_r
             del head_t, head_r
+            fov_tabs = core._static_fov_tables(static_gaze) \
+                if mesh is not None else None
             Q_chunks = []
             ofs = 0  # position in blocks
             for k in sched:
-                fn = core.video_scan_fn(filt, B, k, static_gaze=static_gaze,
-                                        log_contrast=log_c)
+                if mesh is None:
+                    fn = core.video_scan_fn(filt, B, k,
+                                            static_gaze=static_gaze,
+                                            log_contrast=log_c)
+                else:
+                    fn = self._get_sharded_fn(
+                        ("videoscan", core, mesh, filt.tobytes(), B, k,
+                         fov_tabs is not None, log_c), filt=filt)
                 lo = fl - 1 + ofs * B
                 # gather THIS chunk's fp32 luminance only; the buffers die
                 # with the loop iteration, so peak HBM holds one chunk
                 t_k, r_k = vid_source.get_indexed_luminance_block(
                     full_idx[lo:lo + k * B])
-                if pass_gaze:
+                if mesh is not None:
+                    # pre-blocked (k, B, H, W): the frame axis (1) shards
+                    # over the mesh unambiguously (a flat k*B axis would
+                    # leave the reshape's sharding to GSPMD inference)
+                    t_k = t_k.reshape((k, B) + t_k.shape[1:])
+                    r_k = r_k.reshape((k, B) + r_k.shape[1:])
+                    if fov_tabs is not None:
+                        Q_k, carry_t, carry_r = fn(carry_t, carry_r, t_k,
+                                                   r_k, fov_tabs)
+                    elif pass_gaze:
+                        Q_k, carry_t, carry_r = fn(
+                            carry_t, carry_r, t_k, r_k,
+                            jnp.asarray(gaze_all[ofs:ofs + k]))
+                    else:
+                        Q_k, carry_t, carry_r = fn(carry_t, carry_r, t_k, r_k)
+                elif pass_gaze:
                     Q_k, carry_t, carry_r = fn(
                         carry_t, carry_r, t_k, r_k,
                         jnp.asarray(gaze_all[ofs:ofs + k]))
@@ -788,18 +843,11 @@ class fvvdp:
             Q_per_ch[:] = np.asarray(Q_all)[:, :, :N_frames]
         except Exception as e:
             # an HBM-oversubscribed dispatch must degrade to streaming, not
-            # kill the job: the budget above is an estimate, not a guarantee.
-            # Through the axon tunnel a compile-time HBM OOM surfaces as an
-            # opaque INTERNAL remote_compile HTTP 500 (the "Ran out of
-            # memory in memory space hbm" detail stays in the terminal log),
-            # so that shape falls back too — if the program is genuinely
-            # uncompilable the smaller streaming program re-raises below.
-            msg = str(e)
-            oom_like = ("RESOURCE_EXHAUSTED" in msg
-                        or "Resource exhausted" in msg
-                        or "Ran out of memory" in msg
-                        or ("remote_compile" in msg and "HTTP 500" in msg))
-            if not oom_like:
+            # kill the job: the budget above is an estimate, not a guarantee
+            # (see _oom_like for the tunnel-specific error shapes).  If the
+            # program is genuinely uncompilable the smaller streaming
+            # program re-raises below.
+            if not self._oom_like(e):
                 raise
             logging.warning(f"scan path exhausted device memory ({e}); "
                             f"falling back to the streaming loop")
@@ -812,8 +860,16 @@ class fvvdp:
             # (docs/hw_campaign_r4.log stage 2).  Drop every chunk-scale
             # reference, break the traceback cycle, then block until the
             # device can allocate again before handing over to streaming.
+            # A chained exception (the runtime wrapping RESOURCE_EXHAUSTED,
+            # or a failure inside another handler) keeps its own frames via
+            # __cause__/__context__ — break those too, or the chunk buffers
+            # stay referenced through them.
             e.__traceback__ = None
-            del e
+            for linked in (e.__cause__, e.__context__):
+                if linked is not None:
+                    linked.__traceback__ = None
+            e.__cause__ = e.__context__ = None
+            del e, linked
             head_t = head_r = carry_t = carry_r = t_k = r_k = None
             Q_chunks = None
             self._wait_for_device_memory()

@@ -31,6 +31,7 @@ no content mapping).
 from __future__ import annotations
 
 import functools
+import logging
 import os
 
 import jax
@@ -164,15 +165,27 @@ def _mov_tile_shape(h: int, w: int):
     old CB512,TR32 184/1.60x; CB128: TR8 254, TR16 185, TR32 144/1.33x,
     **TR64 138/1.22x**, TR96 140/1.21x; TR=48/128 compile 10x slower
     (non-power-of-2 / register pressure).  FVVDP_MOV_TR / FVVDP_MOV_CB
-    override for perf experiments (multiples of 8 / 128)."""
+    override for perf experiments (multiples of 8 / 128).  The env vars are
+    read at TRACE time: set them before the first moving-gaze call in a
+    process — once a shape has compiled, later changes are ignored (the jit
+    cache keys on shapes/meta, not the environment).  Malformed values are
+    ignored with a warning."""
     CB = 128
     TR = 64 if h >= 64 else max(8, ceildiv(h, 8) * 8)
-    env = os.environ.get("FVVDP_MOV_TR")
-    if env:
-        TR = max(8, (int(env) // 8) * 8)
-    env = os.environ.get("FVVDP_MOV_CB")
-    if env:
-        CB = max(128, (int(env) // 128) * 128)
+    for name, cur, quantum, floor in (("FVVDP_MOV_TR", TR, 8, 8),
+                                      ("FVVDP_MOV_CB", CB, 128, 128)):
+        env = os.environ.get(name)
+        if env:
+            try:
+                val = max(floor, (int(env) // quantum) * quantum)
+            except ValueError:
+                logging.warning(f"ignoring malformed {name}={env!r} "
+                                f"(expected an integer)")
+                continue
+            if name == "FVVDP_MOV_TR":
+                TR = val
+            else:
+                CB = val
     return TR, CB
 
 

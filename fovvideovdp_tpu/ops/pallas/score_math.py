@@ -58,6 +58,12 @@ def table_interp_delta_dyn(rows_ref, u, n_grid, n_rows, shared_delta=False):
     plane per row; with ``shared_delta`` rows 1+ are row 0 plus a scalar
     offset (see table_interp_delta).
     """
+    # Flat clamp beyond the grid: the 2x-unrolled body below re-adds the
+    # last delta for an overhang knot when u > n_grid-1, which would turn
+    # the intended flat extrapolation into linear — clamp once (one vector
+    # op outside the knot loop) instead of relying on every caller to.
+    # NaN lanes pass through clip unchanged, keeping the containment below.
+    u = jnp.clip(u, 0.0, float(n_grid - 1))
     # Window bounds only — a non-finite u lane (NaN luminance in user input)
     # must not poison the int window for the whole strip; the lane itself
     # still propagates NaN through the clip weights below, confining the

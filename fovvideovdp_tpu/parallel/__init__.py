@@ -14,6 +14,7 @@ from fovvideovdp_tpu.parallel.sharding import (
     make_batch_video_scorer,
     shard_video_block_fn,
     shard_video_block_step_fn,
+    shard_video_scan_fn,
     shard_image_fn,
 )
 from fovvideovdp_tpu.parallel.multihost import (
@@ -25,5 +26,6 @@ from fovvideovdp_tpu.parallel.multihost import (
 
 __all__ = ["make_mesh", "make_batch_scorer", "make_batch_video_scorer",
            "shard_video_block_fn", "shard_video_block_step_fn",
-           "shard_image_fn", "init_multihost", "local_batch_to_global",
-           "local_row_positions", "replicate_to_hosts"]
+           "shard_video_scan_fn", "shard_image_fn", "init_multihost",
+           "local_batch_to_global", "local_row_positions",
+           "replicate_to_hosts"]

@@ -111,39 +111,27 @@ def shard_video_block_fn(core, filt: np.ndarray, mesh: Mesh):
     return jax.jit(fn, in_shardings=(seq_sharding, seq_sharding) + gaze_shard)
 
 
-def shard_video_block_step_fn(core, filt: np.ndarray, mesh: Mesh,
-                              static_gaze=None, log_contrast: bool = False,
-                              defer_tables: bool = False):
-    """Sharded streaming step: the multi-chip analog of
-    MetricCore.video_block_step_fn (same carry-in/carry-out contract), so
-    ``fvvdp.predict`` can stream ONE long video over a whole mesh.
+def _sharded_video_step(core, filt_np: np.ndarray, mesh: Mesh,
+                        use_tabs: bool, gaze_in_sig: bool,
+                        log_contrast: bool):
+    """Raw (unjitted) sharded streaming step shared by
+    :func:`shard_video_block_step_fn` (one jitted step per host dispatch)
+    and :func:`shard_video_scan_fn` (the whole chunk schedule rolled into
+    one ``lax.scan``) — the multi-chip analog of MetricCore._video_step.
 
-    fn(carry_t, carry_r, new_t (B, H, W), new_r [, gaze (B, 2)]) ->
-    (Q_per_ch, heatmap | None, carry_t', carry_r')
-
-    The temporal filters run under plain jit — XLA reshards the fl-1 frame
-    halos between neighbouring devices over ICI — and the spatial core
-    (pyramid/CSF/masking, Pallas kernels included) runs in ``jax.shard_map``
-    with B/n_dev frames per device, exactly the single-chip program per
-    shard.  B must be divisible by the mesh size (``fvvdp`` rounds its block
-    size up and pads tail blocks).  With ``static_gaze`` the foveated CSF
-    tables are computed once and replicated; a moving gaze shards with its
-    frames.  ``defer_tables=True`` returns fn(..., tables) binding the CSF
-    tables per CALL, so a cached step serves every fixation point without
-    recompiling.
+    The temporal filters run as plain jnp ON PURPOSE: under jit GSPMD
+    partitions them over the frame axis (the Pallas temporal kernel has no
+    SPMD partitioning rule and would force replication of the whole global
+    block on a real mesh); the spatial core (pyramid/CSF/masking, Pallas
+    kernels included) runs in ``jax.shard_map`` with B/n_dev frames per
+    device — exactly the single-chip program per shard.
     """
     import jax.numpy as jnp
 
     from fovvideovdp_tpu.ops import temporal as temporal_ops
 
-    tables = core._static_fov_tables(static_gaze)
-    use_tabs = defer_tables or tables is not None
-    filt_np = np.asarray(filt, dtype=np.float32)
     fl = filt_np.shape[1]
-    gaze_in_sig = core.foveated and not use_tabs
-    n_dev = _mesh_size(mesh)
     axes = _frame_axes(mesh)
-
     r_spec = P(axes, None, None, None)
     extra_specs = (P(axes, None),) if gaze_in_sig else \
         ((P(),) if use_tabs else ())
@@ -170,10 +158,6 @@ def shard_video_block_step_fn(core, filt: np.ndarray, mesh: Mesh,
         B = new_t.shape[0]
         padded_t = jnp.concatenate([carry_t, new_t], axis=0)
         padded_r = jnp.concatenate([carry_r, new_r], axis=0)
-        # jnp temporal filtering ON PURPOSE (same as shard_video_block_fn):
-        # this runs under plain jit where GSPMD partitions it over the frame
-        # axis; the Pallas temporal kernel has no SPMD partitioning rule and
-        # would force replication of the whole global block on a real mesh.
         Rt = temporal_ops.apply_temporal_filters(padded_t, F_filt_arr)
         Rr = temporal_ops.apply_temporal_filters(padded_r, F_filt_arr)
         R = jnp.stack([Rt[:, 0], Rr[:, 0], Rt[:, 1], Rr[:, 1]], axis=1)
@@ -188,6 +172,39 @@ def shard_video_block_step_fn(core, filt: np.ndarray, mesh: Mesh,
         else:
             c_t, c_r = padded_t[-(fl - 1):], padded_r[-(fl - 1):]
         return Q, heat, c_t, c_r
+
+    return step
+
+
+def shard_video_block_step_fn(core, filt: np.ndarray, mesh: Mesh,
+                              static_gaze=None, log_contrast: bool = False,
+                              defer_tables: bool = False):
+    """Sharded streaming step: the multi-chip analog of
+    MetricCore.video_block_step_fn (same carry-in/carry-out contract), so
+    ``fvvdp.predict`` can stream ONE long video over a whole mesh.
+
+    fn(carry_t, carry_r, new_t (B, H, W), new_r [, gaze (B, 2)]) ->
+    (Q_per_ch, heatmap | None, carry_t', carry_r')
+
+    The temporal filters run under plain jit — XLA reshards the fl-1 frame
+    halos between neighbouring devices over ICI — and the spatial core runs
+    in ``jax.shard_map`` with B/n_dev frames per device (see
+    :func:`_sharded_video_step`).  B must be divisible by the mesh size
+    (``fvvdp`` rounds its block size up and pads tail blocks).  With
+    ``static_gaze`` the foveated CSF tables are computed once and
+    replicated; a moving gaze shards with its frames.  ``defer_tables=True``
+    returns fn(..., tables) binding the CSF tables per CALL, so a cached
+    step serves every fixation point without recompiling.
+    """
+    tables = core._static_fov_tables(static_gaze)
+    use_tabs = defer_tables or tables is not None
+    filt_np = np.asarray(filt, dtype=np.float32)
+    gaze_in_sig = core.foveated and not use_tabs
+    n_dev = _mesh_size(mesh)
+    axes = _frame_axes(mesh)
+
+    step = _sharded_video_step(core, filt_np, mesh, use_tabs, gaze_in_sig,
+                               log_contrast)
 
     repl = NamedSharding(mesh, P())
     frame_shard = NamedSharding(mesh, P(axes, None, None))
@@ -212,6 +229,100 @@ def shard_video_block_step_fn(core, filt: np.ndarray, mesh: Mesh,
         return state["jit"](carry_t, carry_r, new_t, new_r, *extra)
 
     return fn
+
+
+def shard_video_scan_fn(core, filt: np.ndarray, mesh: Mesh,
+                        block_frames: int, chunk_blocks: int,
+                        static_gaze=None, log_contrast: bool = False,
+                        defer_tables: bool = False):
+    """Sharded chunked-scan scorer: ``chunk_blocks`` blocks scored in ONE
+    dispatch over the whole mesh — the multi-chip analog of
+    MetricCore.video_scan_fn (same carry/chunk contract).
+
+    ``lax.scan`` runs over blocks; within each block the B frames shard over
+    every device of the mesh and the scan body IS the sharded streaming step
+    (:func:`_sharded_video_step`), so the numerics match the sharded
+    streaming path exactly.  What the scan removes is the per-block host
+    dispatch round-trip — on an 8-chip mesh a whole video scores in a
+    handful of dispatches instead of one per block.  The reference has no
+    analog (SURVEY.md section 2.4: its only concurrency is one process per
+    GPU); this is the TPU-first design completing itself.
+
+    fn(carry_t, carry_r, chunk_t (chunk_blocks, B, H, W), chunk_r
+       [, gaze (chunk_blocks, B, 2)][, tables]) ->
+    (Q_per_ch (n_bands, 2, chunk_blocks*B), carry_t', carry_r')
+
+    Chunks arrive pre-blocked (axis 0 = blocks, axis 1 = frames) so the
+    frame axis shards unambiguously; ``fvvdp._try_scan_video`` reshapes its
+    gathered (chunk_blocks*B, H, W) luminance before the call.  Heatmaps
+    keep the streaming path (their per-block readback is the point of
+    streaming).  B must be divisible by the mesh size.
+    """
+    import jax.numpy as jnp
+
+    if core.do_heatmap:
+        raise RuntimeError("the scan path scores without heatmaps; "
+                           "use the streaming path")
+    tables = core._static_fov_tables(static_gaze)
+    use_tabs = defer_tables or tables is not None
+    filt_np = np.asarray(filt, dtype=np.float32)
+    gaze_in_sig = core.foveated and not use_tabs
+    n_dev = _mesh_size(mesh)
+    axes = _frame_axes(mesh)
+    K, B = int(chunk_blocks), int(block_frames)
+
+    step = _sharded_video_step(core, filt_np, mesh, use_tabs, gaze_in_sig,
+                               log_contrast)
+
+    def fn(carry_t, carry_r, chunk_t, chunk_r, *extra):
+        tabs = extra[0] if use_tabs else None
+
+        def body(c, xs):
+            if gaze_in_sig:
+                nt, nr, gz = xs
+                Q, _, ct, cr = step(c[0], c[1], nt, nr, gz)
+            elif use_tabs:
+                nt, nr = xs
+                Q, _, ct, cr = step(c[0], c[1], nt, nr, tabs)
+            else:
+                nt, nr = xs
+                Q, _, ct, cr = step(c[0], c[1], nt, nr)
+            return (ct, cr), Q
+
+        xs = (chunk_t, chunk_r)
+        if gaze_in_sig:
+            xs = xs + (extra[0],)
+        (ct, cr), Qs = jax.lax.scan(body, (carry_t, carry_r), xs)
+        # (K, n_bands, 2, B) -> (n_bands, 2, K*B)
+        return jnp.transpose(Qs, (1, 2, 0, 3)).reshape(
+            Qs.shape[1], 2, K * B), ct, cr
+
+    repl = NamedSharding(mesh, P())
+    chunk_shard = NamedSharding(mesh, P(None, axes, None, None))
+    base_shardings = (repl, repl, chunk_shard, chunk_shard)
+    state = {}  # the tables' jit is built on first call (needs the pytree)
+
+    def call(carry_t, carry_r, chunk_t, chunk_r, *extra):
+        if chunk_t.shape[0] != K or chunk_t.shape[1] != B:
+            raise ValueError(f"chunk shape {chunk_t.shape[:2]} != "
+                             f"(chunk_blocks={K}, block_frames={B})")
+        if B % n_dev != 0:
+            raise ValueError(
+                f"block size {B} not divisible by {n_dev} devices; pass "
+                f"block_frames as a multiple of the device count")
+        if use_tabs:
+            tabs = extra[0] if extra else tables
+            if "jit" not in state:
+                state["jit"] = jax.jit(fn, in_shardings=base_shardings
+                                       + (jax.tree.map(lambda _: repl, tabs),))
+            return state["jit"](carry_t, carry_r, chunk_t, chunk_r, tabs)
+        if "jit" not in state:
+            gaze_sh = (NamedSharding(mesh, P(None, axes, None)),) \
+                if gaze_in_sig else ()
+            state["jit"] = jax.jit(fn, in_shardings=base_shardings + gaze_sh)
+        return state["jit"](carry_t, carry_r, chunk_t, chunk_r, *extra)
+
+    return call
 
 
 def make_batch_scorer(core, mesh: Mesh, pool_params: dict, fov_tables=None,

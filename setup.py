@@ -12,7 +12,8 @@ setup(
     long_description_content_type="text/markdown",
     packages=find_packages(include=["fovvideovdp_tpu", "fovvideovdp_tpu.*"]),
     package_data={
-        "fovvideovdp_tpu": ["data/*.json", "data/*.npz"],
+        "fovvideovdp_tpu": ["data/*.json", "data/*.npz",
+                            "data/xla_seed_cache/*"],
     },
     python_requires=">=3.10",
     install_requires=[

@@ -323,3 +323,68 @@ def test_predict_mesh_single_image():
     q3, _ = fv.predict(tst, ref, dim_order="HWC",
                        mesh=make_mesh(jax.devices("cpu")[:1]))
     np.testing.assert_allclose(q3, q1, rtol=1e-6, atol=1e-6)
+
+
+def test_predict_mesh_takes_scan_path(monkeypatch):
+    """With a mesh and a device-resident source the whole video scores
+    through the sharded chunked scan (a handful of dispatches), matching
+    the single-device result; FVVDP_DISABLE_SCAN falls back to the sharded
+    streaming loop with identical numerics."""
+    from fovvideovdp_tpu import fvvdp
+    from fovvideovdp_tpu.parallel import make_mesh
+
+    monkeypatch.delenv("FVVDP_DISABLE_SCAN", raising=False)
+    monkeypatch.delenv("FVVDP_SCAN_MAX_BYTES", raising=False)
+    monkeypatch.delenv("FVVDP_SCAN_HBM_CAP_BYTES", raising=False)
+
+    rng = np.random.RandomState(11)
+    F, H, W = 18, 32, 48
+    ref = (rng.rand(F, H, W, 3) * 255).astype(np.uint8)
+    tst = np.clip(ref.astype(np.int16) + rng.randint(-20, 20, ref.shape),
+                  0, 255).astype(np.uint8)
+    mesh = make_mesh()
+    assert mesh.devices.size > 1
+
+    fv = fvvdp(display_name="standard_fhd", block_frames=8)
+    q1, s1 = fv.predict(tst, ref, dim_order="FHWC", frames_per_second=30)
+    assert fv._exec_path == "scan"
+    q2, s2 = fv.predict(tst, ref, dim_order="FHWC", frames_per_second=30,
+                        mesh=mesh)
+    assert fv._exec_path == "scan", "mesh scoring must use the sharded scan"
+    np.testing.assert_allclose(q2, q1, rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(s2["Q_per_ch"], s1["Q_per_ch"],
+                               rtol=1e-4, atol=1e-5)
+
+    monkeypatch.setenv("FVVDP_DISABLE_SCAN", "1")
+    q3, _ = fv.predict(tst, ref, dim_order="FHWC", frames_per_second=30,
+                       mesh=mesh)
+    assert fv._exec_path == "stream"
+    np.testing.assert_allclose(q3, q1, rtol=1e-5, atol=1e-4)
+
+
+def test_predict_mesh_scan_foveated(monkeypatch):
+    """Sharded scan with a moving gaze (gaze shards with its frames inside
+    the scan body) and with a static fixation point (tables replicated,
+    bound per call)."""
+    from fovvideovdp_tpu import fvvdp
+    from fovvideovdp_tpu.parallel import make_mesh
+
+    monkeypatch.delenv("FVVDP_DISABLE_SCAN", raising=False)
+    rng = np.random.RandomState(13)
+    F, H, W = 16, 32, 48
+    ref = (rng.rand(F, H, W, 3) * 255).astype(np.uint8)
+    tst = np.clip(ref.astype(np.int16) + rng.randint(-25, 25, ref.shape),
+                  0, 255).astype(np.uint8)
+    gaze = np.stack([np.linspace(5, W - 5, F),
+                     np.linspace(5, H - 5, F)], axis=1).astype(np.float32)
+    mesh = make_mesh()
+
+    fv = fvvdp(display_name="standard_hmd", foveated=True, block_frames=8)
+    for fp in (gaze, np.asarray([12.0, 7.0], np.float32)):
+        q1, _ = fv.predict(tst, ref, dim_order="FHWC", frames_per_second=30,
+                           fixation_point=fp)
+        path1 = fv._exec_path
+        q2, _ = fv.predict(tst, ref, dim_order="FHWC", frames_per_second=30,
+                           fixation_point=fp, mesh=mesh)
+        assert fv._exec_path == "scan" == path1
+        np.testing.assert_allclose(q2, q1, rtol=1e-5, atol=1e-4)

@@ -28,7 +28,11 @@ JOD_TOL = 0.01
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, nargs="+", default=[1, 60])
-    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--repeats", type=int, default=5,
+                    help="warm repeats per row; rows publish min/median/max "
+                         "so a real regression is distinguishable from "
+                         "transport jitter (observed 5-9%% run-to-run on "
+                         "the tunnel)")
     ap.add_argument("--display", default="standard_4k")
     ap.add_argument("--resolutions", nargs="+", metavar="WxH",
                     help="override the default 720p/1080p/4K rows, e.g. "
@@ -125,6 +129,18 @@ def main():
         with open(GOLDENS_PATH, "w", encoding="utf-8") as f:
             json.dump(old, f, indent=2, sort_keys=True)
 
+    def timed(fn):
+        """args.repeats warm runs -> dict with min/median/max seconds."""
+        times = []
+        for _ in range(args.repeats):
+            t0 = time.time()
+            fn()
+            times.append(time.time() - t0)
+        return {"seconds": round(min(times), 4),
+                "seconds_median": round(float(np.median(times)), 4),
+                "seconds_max": round(max(times), 4),
+                "repeats": len(times)}
+
     def run_row(fv, variant, W, H, F):
         ref, tst = row_data(W, H, F)
         fps = 0 if F == 1 else 30
@@ -136,17 +152,17 @@ def main():
             ref_b = np.repeat(ref[None, ..., 0], Nb, axis=0)
             jods, _ = fv.predict_batch(tst_b, ref_b,
                                        dim_order="BHWC")  # warm-up
-            best = None
-            for _ in range(args.repeats):
-                t0 = time.time()
+
+            def _run_batch():
+                nonlocal jods
                 jods, _ = fv.predict_batch(tst_b, ref_b, dim_order="BHWC")
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
+
+            t = timed(_run_batch)
             print(json.dumps({
                 "resolution": f"{W}x{H}", "frames": 1,
-                "variant": "batch", "pairs": Nb,
-                "seconds": round(best, 4),
-                "pairs_per_s": round(Nb / best, 2),
+                "variant": "batch", "pairs": Nb, **t,
+                "pairs_per_s": round(Nb / t["seconds"], 2),
+                "pairs_per_s_median": round(Nb / t["seconds_median"], 2),
                 "Q_jod": round(float(jods[0]), 4),
             }), flush=True)
             check(f"{W}x{H}/f1/batch", jods[0])
@@ -169,17 +185,18 @@ def main():
                     full_screen_resize="bilinear",
                     resize_resolution=[3840, 2160])
                 Q5, _ = fv.predict_video_source(vs5)  # warm-up
-                best = None
-                for _ in range(args.repeats):
-                    t0 = time.time()
+
+                def _run_cfg5():
+                    nonlocal Q5
                     Q5, st5 = fv.predict_video_source(vs5)
-                    dt = time.time() - t0
-                    best = dt if best is None else min(best, dt)
                     st5["heatmap"] = None
+
+                t = timed(_run_cfg5)
             print(json.dumps({
                 "resolution": f"{W}x{H}", "frames": F,
-                "variant": "config5", "seconds": round(best, 4),
-                "fps": round(F / best, 2),
+                "variant": "config5", **t,
+                "fps": round(F / t["seconds"], 2),
+                "fps_median": round(F / t["seconds_median"], 2),
                 "Q_jod": round(float(Q5), 4),
             }), flush=True)
             check(f"{W}x{H}/f{F}/config5", Q5)
@@ -206,16 +223,16 @@ def main():
             return Q
 
         Q = score()
-        best = None
-        for _ in range(args.repeats):
-            t0 = time.time()
+
+        def _run():
+            nonlocal Q
             Q = score()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
+
+        t = timed(_run)
         print(json.dumps({
-            "resolution": f"{W}x{H}", "frames": F, "variant": variant,
-            "seconds": round(best, 4),
-            "fps": round(F / best, 2),
+            "resolution": f"{W}x{H}", "frames": F, "variant": variant, **t,
+            "fps": round(F / t["seconds"], 2),
+            "fps_median": round(F / t["seconds_median"], 2),
             "Q_jod": round(float(Q), 4),
         }), flush=True)
         check(f"{W}x{H}/f{F}/{variant}", Q)
