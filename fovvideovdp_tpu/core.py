@@ -687,6 +687,31 @@ class MetricCore:
                  if hasattr(r, "shape"))
         return n * len(self.luts) * px * 4
 
+    def mov_kernel_available(self) -> bool:
+        """Can this core score a foveated video through the fused in-kernel
+        trilinear moving-gaze path (ops/pallas/mov_score)?  Used by the
+        fixed-gaze auto-selection: when the per-pixel CSF tables would
+        strangle the HBM block budget (4K), a CONSTANT per-frame gaze
+        through the moving kernel is faster than the table path — but only
+        when the kernel actually supports this configuration; otherwise the
+        slower jnp fallbacks would make the switch a pessimisation."""
+        from fovvideovdp_tpu.ops import pallas as pallas_cfg
+        from fovvideovdp_tpu.ops.pallas import mov_score as ms
+        if not (self.foveated and self.content_mapping is None
+                and not self.do_heatmap and self.contrast != "log"
+                and self.masking_model == "min_mutual_masking_perc_norm2"
+                and float(self.params.get("pu_dilate", 0.0)) == 0.0
+                and not self.ignore_boundary_pixels
+                and self.band_callback is None
+                and self._luts_share_Y and self.local_adapt == "gpyr"
+                and pallas_cfg.use_pallas()):
+            return False
+        if not all(csf_mod._axis_uniform(l, ax) for l in self.luts
+                   for ax in ("Y_log", "rho_log", "ecc_sqrt")):
+            return False
+        return ms.supports(self.plan.H, self.plan.W) \
+            and self._moving_band_data(0)["t_r"] is not None
+
     def drop_fov_tables(self) -> None:
         """Free every cached fixed-gaze table set (GB-scale at 4K).  Called
         before moving-gaze scoring, which never reads them — without the

@@ -307,6 +307,29 @@ class fvvdp:
         rho_band = plan.get_freqs()
         is_image = N_frames == 1
 
+        if static_gaze is not None and not is_image \
+                and self.do_temporal_channels \
+                and os.environ.get("FVVDP_FOV_AUTOSELECT", "1") != "0":
+            # Fixed-gaze auto-selection: the per-pixel CSF tables are
+            # GB-scale at 4K and charge the HBM block budget so hard that
+            # the strictly-harder moving-gaze path outruns the table path
+            # (hardware: 110 vs 119 fps on 4K/60).  When the tables would
+            # halve the block size AND the in-kernel trilinear kernel
+            # supports this configuration, score the fixed gaze through the
+            # moving kernel as a constant per-frame gaze — the fixed path
+            # must never lose to the strictly-harder moving one.  JODs are
+            # equal up to float noise (the kernel's trilinear and the
+            # tables' collapse are the same interpolation, associativity).
+            B_free = self._pick_block_size(height, width, N_frames, 0)
+            B_tab = self._pick_block_size(height, width, N_frames,
+                                          core.fov_table_bytes())
+            if 2 * B_tab < B_free and core.mov_kernel_available():
+                logging.debug(
+                    f"fixed-gaze CSF tables would shrink the frame block "
+                    f"{B_free} -> {B_tab}; scoring via the in-kernel "
+                    f"trilinear path with a constant gaze instead")
+                static_gaze = None
+
         heatmap_frames = [None] * N_frames \
             if self.do_heatmap and not self.device_heatmap else None
         heat_dev_blocks = [] if self.do_heatmap and self.device_heatmap else None
@@ -392,6 +415,7 @@ class fvvdp:
                 else:
                     Q_blk, heat = fn(t, r)
                 pending.append((pos, b, Q_blk, heat))
+                self._start_fetch(pending[-1], self.device_heatmap)
                 # pipeline depth 2: the device stays >= 1 full block ahead of
                 # the blocking host read-back
                 while len(pending) > 2:
@@ -510,6 +534,7 @@ class fvvdp:
                             carry_t, carry_r, new_t, new_r)
 
                     pending.append((pos, b, Q_blk, heat))
+                    self._start_fetch(pending[-1], self.device_heatmap)
                     # pipeline depth 2: the device stays >= 1 full block ahead of
                     # the blocking host read-back
                     while len(pending) > 2:
@@ -600,6 +625,22 @@ class fvvdp:
                  Q_per_ch=Q_per_ch, carry_t=np.asarray(carry_t),
                  carry_r=np.asarray(carry_r))
         os.replace(tmp, path)
+
+    @staticmethod
+    def _start_fetch(pending_entry, device_heatmap: bool) -> None:
+        """Begin the device->host copy of a just-dispatched block's results
+        WITHOUT blocking.  The copy then runs concurrently with the next
+        block's compute and upload (full-duplex on PCIe and on the tunnel),
+        so by the time _drain_block needs the bytes they are already local —
+        heatmap readback (the dominant cost of the heatmap path on slow
+        transports) overlaps instead of serialising after scoring."""
+        _, _, Q_blk, heat = pending_entry
+        for arr in ((Q_blk,) if device_heatmap or heat is None
+                    else (Q_blk, heat)):
+            try:
+                arr.copy_to_host_async()
+            except Exception:
+                pass  # backend without async copies: drain stays correct
 
     @staticmethod
     def _drain_block(pending, Q_per_ch, heatmap_frames, heat_dev_blocks=None):
@@ -1179,10 +1220,19 @@ class fvvdp:
 
     # ------------------------------------------------------------------
     def do_pooling_and_jods(self, Q_per_ch):
-        """Band/channel/frame pooling + JOD regression (fvvdp.py:337-357)."""
-        return mask_ops.pool_to_jod(
-            Q_per_ch, self.w_transient, self.beta_sch, self.beta_tch,
-            self.beta_t, self.jod_a, self.log_jod_exp)
+        """Band/channel/frame pooling + JOD regression (fvvdp.py:337-357).
+
+        Jitted: eagerly the chain is ~12 separate XLA programs (power,
+        divide, reduce, ...), each a dispatch round-trip — on the tunnel
+        transport that is 12 RPCs plus 12 sub-second compiles on a cold
+        cache.  One jitted program per Q shape removes both."""
+        params = (self.w_transient, self.beta_sch, self.beta_tch,
+                  self.beta_t, self.jod_a, self.log_jod_exp)
+        if getattr(self, "_pool_jit_key", None) != params:
+            self._pool_jit_key = params
+            self._pool_jit = jax.jit(
+                lambda Q, _p=params: mask_ops.pool_to_jod(Q, *_p))
+        return self._pool_jit(Q_per_ch)
 
     def get_temporal_filters(self, frames_per_s):
         """(F, omega) for API parity with the reference (fvvdp.py:609-630)."""

@@ -242,3 +242,88 @@ def test_seed_compile_cache_never_raises(tmp_path):
         _seed_compile_cache(str(ro / "sub"), src=str(src))  # cannot mkdir
     finally:
         os.chmod(ro, 0o700)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r4 #2: fixed-gaze foveation auto-selects the moving kernel when
+# the per-pixel CSF tables would strangle the block budget
+# ---------------------------------------------------------------------------
+
+def _fov_pair(F=10, H=32, W=48):
+    rng = np.random.RandomState(3)
+    ref = rng.randint(0, 255, (H, W, 3, F), dtype=np.uint8)
+    tst = np.clip(ref.astype(np.int16) + rng.randint(-20, 20, ref.shape),
+                  0, 255).astype(np.uint8)
+    return tst, ref
+
+
+def test_fixed_gaze_autoselects_moving_kernel(monkeypatch):
+    """When tables would halve the block size and the moving kernel is
+    available, a FIXED fixation point scores through the constant-gaze
+    moving path — with the same JOD as the table path."""
+    import fovvideovdp_tpu.core as core_mod
+    from fovvideovdp_tpu import fvvdp
+
+    tst, ref = _fov_pair()
+    fix = np.asarray([20.0, 12.0], np.float32)
+
+    fv = fvvdp(display_name="standard_hmd", foveated=True)
+    q_tables, _ = fv.predict(tst, ref, dim_order="HWCF",
+                             frames_per_second=30, fixation_point=fix)
+
+    seen = []
+    orig = core_mod.MetricCore.video_scan_fn
+
+    def spy(self, filt, B, k, static_gaze=None, log_contrast=False):
+        seen.append(static_gaze)
+        return orig(self, filt, B, k, static_gaze=static_gaze,
+                    log_contrast=log_contrast)
+
+    monkeypatch.setattr(core_mod.MetricCore, "video_scan_fn", spy)
+    # huge tables + available kernel => the policy must switch
+    monkeypatch.setattr(core_mod.MetricCore, "fov_table_bytes",
+                        lambda self: 10 << 30)
+    monkeypatch.setattr(core_mod.MetricCore, "mov_kernel_available",
+                        lambda self: True)
+    fv2 = fvvdp(display_name="standard_hmd", foveated=True)
+    q_auto, _ = fv2.predict(tst, ref, dim_order="HWCF",
+                            frames_per_second=30, fixation_point=fix)
+    assert seen and all(g is None for g in seen), \
+        "the scan must run WITHOUT static-gaze tables after the switch"
+    np.testing.assert_allclose(q_auto, q_tables, rtol=1e-5, atol=1e-4)
+
+    # opt-out env var keeps the table path
+    seen.clear()
+    monkeypatch.setenv("FVVDP_FOV_AUTOSELECT", "0")
+    fv3 = fvvdp(display_name="standard_hmd", foveated=True)
+    q_off, _ = fv3.predict(tst, ref, dim_order="HWCF",
+                           frames_per_second=30, fixation_point=fix)
+    assert seen and all(g is not None for g in seen), \
+        "FVVDP_FOV_AUTOSELECT=0 must keep the per-pixel table path"
+    np.testing.assert_allclose(q_off, q_tables, rtol=1e-6, atol=1e-6)
+
+
+def test_fixed_gaze_keeps_tables_when_kernel_unavailable(monkeypatch):
+    """No switch when the moving kernel can't serve the configuration —
+    falling to the slow jnp moving path would be a pessimisation."""
+    import fovvideovdp_tpu.core as core_mod
+    from fovvideovdp_tpu import fvvdp
+
+    tst, ref = _fov_pair()
+    seen = []
+    orig = core_mod.MetricCore.video_scan_fn
+
+    def spy(self, filt, B, k, static_gaze=None, log_contrast=False):
+        seen.append(static_gaze)
+        return orig(self, filt, B, k, static_gaze=static_gaze,
+                    log_contrast=log_contrast)
+
+    monkeypatch.setattr(core_mod.MetricCore, "video_scan_fn", spy)
+    monkeypatch.setattr(core_mod.MetricCore, "fov_table_bytes",
+                        lambda self: 10 << 30)
+    monkeypatch.setattr(core_mod.MetricCore, "mov_kernel_available",
+                        lambda self: False)
+    fv = fvvdp(display_name="standard_hmd", foveated=True)
+    fv.predict(tst, ref, dim_order="HWCF", frames_per_second=30,
+               fixation_point=np.asarray([20.0, 12.0], np.float32))
+    assert seen and all(g is not None for g in seen)

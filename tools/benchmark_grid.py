@@ -11,6 +11,12 @@ Every row's JOD is checked against tools/grid_goldens.json (regenerate with
 with no stored golden — perf numbers are only published for correct
 numerics, and a fresh checkout without the goldens file fails rather than
 passing vacuously.
+
+The goldens file's "_anchors" map records which rows are REFERENCE-
+ANCHORED: tools/gen_grid_ref_goldens.py --write-anchors re-scored them
+through /root/reference/pyfvvdp on CPU and stored the reference's JOD
+there.  Rows absent from "_anchors" are pins of this repo's own hardware
+output (drift gates only).
 """
 import argparse
 import json

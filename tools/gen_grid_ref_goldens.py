@@ -15,8 +15,21 @@ bench clip) — video rows are therefore anchored by the already-pinned
 synthetic-clip and config5 goldens rather than re-scored here.
 
 Usage: python tools/gen_grid_ref_goldens.py [--frames 1] [--check]
+         [--variants plain foveated foveated-moving heatmap]
+         [--write-anchors]
   --check: compare against tools/grid_goldens.json and exit non-zero on
            |dJOD| > 0.01 instead of just printing.
+  --write-anchors: record each reference-scored JOD in grid_goldens.json's
+           "_anchors" map, marking that row as REFERENCE-ANCHORED (trust
+           chain starts outside this repo) rather than a self-drift-gate.
+           Rows absent from "_anchors" are pins of this repo's own output.
+
+Variant semantics mirror tools/benchmark_grid.py exactly: 'foveated' is a
+fixed central gaze (the reference's default fixation), 'foveated-moving'
+drives the same linspace corner-to-corner trajectory the grid rows use
+(video rows only — per-frame CSF, the reference's slowest path), 'heatmap'
+scores with heatmap='threshold' (the JOD must be unchanged by heatmap
+rendering; anchoring it checks exactly that through the reference).
 """
 import argparse
 import json
@@ -61,7 +74,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, nargs="+", default=[1])
     ap.add_argument("--resolutions", nargs="+", metavar="WxH")
+    ap.add_argument("--variants", nargs="+", default=["plain"],
+                    choices=["plain", "foveated", "foveated-moving",
+                             "heatmap"])
     ap.add_argument("--check", action="store_true")
+    ap.add_argument("--write-anchors", action="store_true")
     args = ap.parse_args()
 
     import torch
@@ -79,30 +96,77 @@ def main():
         with open(GOLDENS_PATH, encoding="utf-8") as f:
             goldens = json.load(f)
 
-    fv = fvvdp(display_name="standard_4k", device=torch.device("cpu"))
+    def make_metric(variant):
+        kw = {"device": torch.device("cpu")}
+        if variant in ("foveated", "foveated-moving"):
+            kw["foveated"] = True
+        if variant == "heatmap":
+            kw["heatmap"] = "threshold"
+        return fvvdp(display_name="standard_4k", **kw)
+
     failures = []
-    for (W, H) in resolutions:
-        for F in args.frames:
-            ref, tst = row_data(W, H, F)
-            fps = 0 if F == 1 else 30
-            vs = fvvdp_video_source_array(
-                torch.tensor(tst), torch.tensor(ref), fps,
-                dim_order="HWCF", display_photometry=fv.display_photometry)
-            t0 = time.time()
-            Q, _ = fv.predict_video_source(vs)
-            dt = time.time() - t0
-            key = f"{W}x{H}/f{F}/plain"
-            line = (f"reference {key}: JOD {float(Q):.6f} ({dt:.0f}s)")
-            if key in goldens:
-                d = abs(float(Q) - goldens[key])
-                line += f" | grid golden {goldens[key]} |d|={d:.4f}"
-                if d > 0.01:
-                    failures.append(key)
-            print(line, flush=True)
+    anchors = {}
+    for variant in args.variants:
+        fv = make_metric(variant)
+        for (W, H) in resolutions:
+            for F in args.frames:
+                if variant == "foveated-moving" and F == 1:
+                    continue  # the moving-gaze rows are video rows
+                ref, tst = row_data(W, H, F)
+                fps = 0 if F == 1 else 30
+                fix = None
+                if variant == "foveated-moving":
+                    # bit-identical to benchmark_grid's trajectory
+                    fix = torch.tensor(np.stack(
+                        [np.linspace(10, W - 10, F),
+                         np.linspace(10, H - 10, F)]).T)
+                vs = fvvdp_video_source_array(
+                    torch.tensor(tst), torch.tensor(ref), fps,
+                    dim_order="HWCF",
+                    display_photometry=fv.display_photometry)
+                t0 = time.time()
+                Q, _ = fv.predict_video_source(vs, fixation_point=fix)
+                dt = time.time() - t0
+                key = f"{W}x{H}/f{F}/{variant}"
+                line = (f"reference {key}: JOD {float(Q):.6f} ({dt:.0f}s)")
+                anchors[key] = round(float(Q), 4)
+                if key in goldens:
+                    d = abs(float(Q) - goldens[key])
+                    line += f" | grid golden {goldens[key]} |d|={d:.4f}"
+                    if d > 0.01:
+                        failures.append(key)
+                print(line, flush=True)
+                if args.write_anchors:
+                    # incremental: a multi-hour run killed mid-way keeps
+                    # the anchors it earned
+                    _write_anchors(anchors)
+    if args.write_anchors:
+        _write_anchors(anchors)
     if args.check and failures:
         print(f"PARITY FAILURE vs reference: {failures}", file=sys.stderr)
         return 1
     return 0
+
+
+def _write_anchors(anchors: dict) -> None:
+    """Merge reference-scored JODs into grid_goldens.json under "_anchors".
+
+    A row present in "_anchors" is REFERENCE-ANCHORED: its pinned JOD was
+    reproduced through /root/reference/pyfvvdp on CPU (value recorded here,
+    |d| <= 0.01 enforced by --check).  Rows without an anchor are pins of
+    this repo's own hardware output (drift gates only).
+    """
+    data = {}
+    if os.path.isfile(GOLDENS_PATH):
+        with open(GOLDENS_PATH, encoding="utf-8") as f:
+            data = json.load(f)
+    merged = dict(data.get("_anchors", {}))
+    merged.update(anchors)
+    data["_anchors"] = merged
+    tmp = GOLDENS_PATH + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(data, f, indent=2, sort_keys=True)
+    os.replace(tmp, GOLDENS_PATH)
 
 
 if __name__ == "__main__":

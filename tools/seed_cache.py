@@ -69,6 +69,11 @@ def main():
     ap.add_argument("--reuse-staging", action="store_true",
                     help="keep existing staging entries (skip the warm-up "
                          "run if the programs are already cached there)")
+    ap.add_argument("--grid", nargs="*", metavar="ARG",
+                    help="also run tools/benchmark_grid.py with these args "
+                         "against the staging cache, seeding the grid rows' "
+                         "programs too (e.g. --grid --resolutions 1440x1600 "
+                         "--variants foveated-moving --frames 60)")
     args = ap.parse_args()
 
     if not args.reuse_staging and os.path.isdir(args.staging):
@@ -80,6 +85,18 @@ def main():
     res = run_bench(args.staging, args.timeout)
     print(f"# bench done in {res.get('_wall_s')}s: first_call_s="
           f"{res.get('first_call_s')}", flush=True)
+
+    if args.grid is not None:
+        env = dict(os.environ, JAX_COMPILATION_CACHE_DIR=args.staging)
+        cmd = [sys.executable, os.path.join("tools", "benchmark_grid.py")] \
+            + list(args.grid)
+        print(f"# seeding grid programs: {' '.join(cmd)}", flush=True)
+        r = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
+                           text=True, timeout=args.timeout)
+        if r.returncode != 0:
+            tail = "\n".join((r.stderr or "").splitlines()[-6:])
+            print(f"# WARNING: grid seeding run failed (rc={r.returncode}); "
+                  f"keeping whatever it cached:\n{tail}", flush=True)
 
     entries = sorted(
         (os.path.getsize(os.path.join(args.staging, n)), n)
