@@ -335,6 +335,20 @@ class fvvdp_video_source_array(fvvdp_video_source_dm):
         self._preload_device = is_dev or (
             self._raw_test.nbytes + self._raw_ref.nbytes
             <= self.DEVICE_PRELOAD_LIMIT_BYTES)
+        if self._preload_device:
+            # Start the bulk host->device transfer NOW, without blocking:
+            # dispatch is asynchronous, so the DMA runs while the caller goes
+            # on to trace/compile its first program (on slow transports the
+            # upload of a 4K/60 uint8 pair is ~25 s — previously serialized
+            # AFTER the first compile).  Nothing is queued on the device yet,
+            # so the transfer gets its full idle bandwidth; the first compute
+            # that reads the buffers serializes on them by data dependency.
+            try:
+                self._dev_videos = (
+                    _upload_as_cfhw(self._raw_test, self._dim_order),
+                    _upload_as_cfhw(self._raw_ref, self._dim_order))
+            except Exception:
+                self._dev_videos = None  # fall back to the lazy upload
 
     DEVICE_PRELOAD_LIMIT_BYTES = 4_000_000_000
 

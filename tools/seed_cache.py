@@ -69,11 +69,12 @@ def main():
     ap.add_argument("--reuse-staging", action="store_true",
                     help="keep existing staging entries (skip the warm-up "
                          "run if the programs are already cached there)")
-    ap.add_argument("--grid", nargs="*", metavar="ARG",
+    ap.add_argument("--grid", metavar="ARGSTR",
                     help="also run tools/benchmark_grid.py with these args "
-                         "against the staging cache, seeding the grid rows' "
-                         "programs too (e.g. --grid --resolutions 1440x1600 "
-                         "--variants foveated-moving --frames 60)")
+                         "(ONE shell-quoted string) against the staging "
+                         "cache, seeding the grid rows' programs too, e.g. "
+                         "--grid '--resolutions 1440x1600 --variants "
+                         "foveated-moving --frames 60'")
     args = ap.parse_args()
 
     if not args.reuse_staging and os.path.isdir(args.staging):
@@ -87,9 +88,10 @@ def main():
           f"{res.get('first_call_s')}", flush=True)
 
     if args.grid is not None:
+        import shlex
         env = dict(os.environ, JAX_COMPILATION_CACHE_DIR=args.staging)
         cmd = [sys.executable, os.path.join("tools", "benchmark_grid.py")] \
-            + list(args.grid)
+            + shlex.split(args.grid)
         print(f"# seeding grid programs: {' '.join(cmd)}", flush=True)
         r = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
                            text=True, timeout=args.timeout)
