@@ -13,15 +13,23 @@ def _seed_compile_cache(dst: str, src: str = None) -> None:
     ``data/xla_seed_cache/`` (hardlink, falling back to copy).
 
     The benchmark-critical XLA programs take minutes to compile (through a
-    remote-compile tunnel, with minute-scale variance); their serialized
-    executables are ~10 MB total and the persistent-cache keys are
-    deterministic, so shipping the entries makes a COLD environment's first
-    call as fast as a warm one (measured: 989 s -> 26 s to the first 4K
-    video JOD).  Entries are content-addressed by jax's own cache key —
-    entries for a different backend/jaxlib/code version are simply never
-    requested, so stale seeds are dead weight, not a correctness risk.
-    Regenerate with tools/seed_cache.py after kernel changes.
+    remote-compile tunnel, with minute-scale variance); the persistent-cache
+    keys are deterministic, so shipping the serialized executables makes a
+    COLD environment's first call as fast as a warm one (measured: 989 s ->
+    26-43 s to the first 4K video JOD).  The shipped seed is ~81 MB (see
+    MANIFEST.json): ~10 MB covers the bench programs, the rest is the
+    foveated/moving-gaze grid kernels whose cold compiles cost the most —
+    a deliberate size/latency trade recorded there.  Entries are
+    content-addressed by jax's own cache key — entries for a different
+    backend/jaxlib/code version are simply never requested, so stale seeds
+    are dead weight, not a correctness risk.  Regenerate with
+    tools/seed_cache.py after kernel changes (it replaces, not appends).
+    Set FVVDP_NO_SEED_CACHE=1 to skip seeding — measurement tools that
+    need genuinely cold compiles (tools/seed_cache.py,
+    tools/probe_mov_tr.py) set it for their subprocesses.
     """
+    if _os.environ.get("FVVDP_NO_SEED_CACHE", "") == "1":
+        return
     if src is None:
         src = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
                             "data", "xla_seed_cache")

@@ -172,8 +172,8 @@ def _mov_tile_shape(h: int, w: int):
     ignored with a warning."""
     CB = 128
     TR = 64 if h >= 64 else max(8, ceildiv(h, 8) * 8)
-    for name, cur, quantum, floor in (("FVVDP_MOV_TR", TR, 8, 8),
-                                      ("FVVDP_MOV_CB", CB, 128, 128)):
+    for name, quantum, floor in (("FVVDP_MOV_TR", 8, 8),
+                                 ("FVVDP_MOV_CB", 128, 128)):
         env = os.environ.get(name)
         if env:
             try:

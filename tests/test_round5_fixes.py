@@ -327,3 +327,20 @@ def test_fixed_gaze_keeps_tables_when_kernel_unavailable(monkeypatch):
     fv.predict(tst, ref, dim_order="HWCF", frames_per_second=30,
                fixation_point=np.asarray([20.0, 12.0], np.float32))
     assert seen and all(g is not None for g in seen)
+
+
+def test_seed_compile_cache_env_opt_out(tmp_path, monkeypatch):
+    """FVVDP_NO_SEED_CACHE=1 must make seeding a no-op (measurement tools
+    rely on it for genuinely cold compile-cache dirs)."""
+    from fovvideovdp_tpu import _seed_compile_cache
+
+    src = tmp_path / "seed"
+    dst = tmp_path / "cache"
+    src.mkdir()
+    (src / "jit_fn-dddd-cache").write_bytes(b"x")
+    monkeypatch.setenv("FVVDP_NO_SEED_CACHE", "1")
+    _seed_compile_cache(str(dst), src=str(src))
+    assert not dst.exists() or not any(dst.iterdir())
+    monkeypatch.delenv("FVVDP_NO_SEED_CACHE")
+    _seed_compile_cache(str(dst), src=str(src))
+    assert (dst / "jit_fn-dddd-cache").exists()

@@ -82,8 +82,11 @@ def main():
     for tr in args.trs:
         for rep in range(args.repeats):
             cache = tempfile.mkdtemp(prefix=f"movtr{tr}_")
+            # FVVDP_NO_SEED_CACHE: the packaged seed would turn the default
+            # tiling's compile into a cache hit, biasing the comparison
             env = dict(os.environ, FVVDP_MOV_TR=str(tr),
-                       JAX_COMPILATION_CACHE_DIR=cache)
+                       JAX_COMPILATION_CACHE_DIR=cache,
+                       FVVDP_NO_SEED_CACHE="1")
             t0 = time.time()
             try:
                 r = subprocess.run([sys.executable, "-c", script], env=env,

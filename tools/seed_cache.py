@@ -33,7 +33,11 @@ SEED_DIR = os.path.join(REPO, "fovvideovdp_tpu", "data", "xla_seed_cache")
 
 
 def run_bench(cache_dir: str, timeout: int) -> dict:
-    env = dict(os.environ, JAX_COMPILATION_CACHE_DIR=cache_dir)
+    # FVVDP_NO_SEED_CACHE: the bench subprocess must NOT import-seed the
+    # staging dir from the CURRENT packaged seed — that would recycle stale
+    # entries into every regenerated seed and fake the cold measurement
+    env = dict(os.environ, JAX_COMPILATION_CACHE_DIR=cache_dir,
+               FVVDP_NO_SEED_CACHE="1")
     t0 = time.time()
     r = subprocess.run([sys.executable, "bench.py"], cwd=REPO, env=env,
                        capture_output=True, text=True, timeout=timeout)
@@ -89,7 +93,8 @@ def main():
 
     if args.grid is not None:
         import shlex
-        env = dict(os.environ, JAX_COMPILATION_CACHE_DIR=args.staging)
+        env = dict(os.environ, JAX_COMPILATION_CACHE_DIR=args.staging,
+                   FVVDP_NO_SEED_CACHE="1")
         cmd = [sys.executable, os.path.join("tools", "benchmark_grid.py")] \
             + shlex.split(args.grid)
         print(f"# seeding grid programs: {' '.join(cmd)}", flush=True)

@@ -119,8 +119,10 @@ def main():
     ap.add_argument("--checkpoint", default="/tmp/fvvdp_soak_ck.npz")
     ap.add_argument("--checkpoint-every", type=int, default=8)
     ap.add_argument("--kill-after-s", type=float, default=None,
-                    help="stage-2 kill delay; default: half of stage 1's "
-                         "wall time")
+                    help="stage-2 DEADLINE for the first checkpoint file to "
+                         "appear (the child is SIGKILLed ~2 s after it "
+                         "does); default max(60, 2x stage 1's first-call "
+                         "time, which includes compiles)")
     args = ap.parse_args()
     args.W, args.H = (int(v) for v in args.size.lower().split("x"))
 
