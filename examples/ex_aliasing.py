@@ -17,6 +17,13 @@ import shutil
 import sys
 import time
 
+# runnable from a source checkout: add the repo root when not installed
+import importlib.util as _ilu
+import os as _os
+import sys as _sys
+if _ilu.find_spec("fovvideovdp_tpu") is None:
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))))
 from fovvideovdp_tpu import fvvdp
 from fovvideovdp_tpu.video_source_file import fvvdp_video_source_file
 

@@ -3,6 +3,13 @@ pixels-per-degree computation (e.g. for a headset with a measured ppd map)."""
 import numpy as np
 import jax.numpy as jnp
 
+# runnable from a source checkout: add the repo root when not installed
+import importlib.util as _ilu
+import os as _os
+import sys as _sys
+if _ilu.find_spec("fovvideovdp_tpu") is None:
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))))
 import fovvideovdp_tpu as fvdp
 
 

@@ -16,6 +16,13 @@ import os
 import numpy as np
 import torch
 
+# runnable from a source checkout: add the repo root when not installed
+import importlib.util as _ilu
+import os as _os
+import sys as _sys
+if _ilu.find_spec("fovvideovdp_tpu") is None:
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))))
 import fovvideovdp_tpu as fvdp
 from fovvideovdp_tpu.torch_interop import fvvdp_torch_loss
 

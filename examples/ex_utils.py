@@ -3,7 +3,19 @@
 The distortion protocols (noise variance, blur sigma) follow the published
 example configuration (reference README.md:137-138) so the printed JODs are
 comparable; the implementations are vectorized numpy.
+
+Importing this module also makes the examples runnable straight from a
+source checkout (``cd examples && python ex_simple_image.py``): if the
+package is not installed, the repository root is added to sys.path.
 """
+import importlib.util
+import os
+import sys
+
+if importlib.util.find_spec("fovvideovdp_tpu") is None:
+    sys.path.insert(0, os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 from scipy.ndimage import gaussian_filter
 
