@@ -123,6 +123,7 @@ class fvvdp:
                            for o in self.omega)
         self._cores: Dict = {}
         self._shard_fns: Dict = {}  # compiled sharded scorers, keyed per mesh
+        self._scan_Q_dev = None  # device-resident Q handed over by the scan
 
     # ------------------------------------------------------------------
     def load_config(self, parameter_overrides=None):
@@ -555,7 +556,15 @@ class fvvdp:
                 if checkpoint_path and os.path.isfile(checkpoint_path):
                     os.remove(checkpoint_path)
 
-        Q_jod = self.do_pooling_and_jods(jnp.asarray(Q_per_ch))
+        Q_dev = getattr(self, "_scan_Q_dev", None)
+        if Q_dev is not None:
+            # scan path: pool the device-resident Q (dispatch queues behind
+            # the scan program), then download the per-channel features once
+            self._scan_Q_dev = None
+            Q_jod = self.do_pooling_and_jods(Q_dev)
+            Q_per_ch[:] = np.asarray(Q_dev)
+        else:
+            Q_jod = self.do_pooling_and_jods(jnp.asarray(Q_per_ch))
 
         stats = {
             "Q_per_ch": np.asarray(Q_per_ch),
@@ -873,15 +882,23 @@ class fvvdp:
                 else:
                     Q_k, carry_t, carry_r = fn(carry_t, carry_r, t_k, r_k)
                 del t_k, r_k
-                # chain synchronously: enqueueing the NEXT chunk's gather
-                # before this chunk retires would claim its output buffers
-                # early and hold two chunks in HBM at once
-                carry_t.block_until_ready()
                 Q_chunks.append(Q_k)
                 ofs += k
+                # chain synchronously: enqueueing the NEXT chunk's gather
+                # before this chunk retires would claim its output buffers
+                # early and hold two chunks in HBM at once.  After the LAST
+                # chunk there is nothing to protect — skipping the sync
+                # saves a transport round-trip per predict and lets the
+                # pooling program queue behind the scan.
+                if ofs * B < total:
+                    carry_t.block_until_ready()
             Q_all = Q_chunks[0] if len(Q_chunks) == 1 \
                 else jnp.concatenate(Q_chunks, axis=2)
-            Q_per_ch[:] = np.asarray(Q_all)[:, :, :N_frames]
+            # hand the device-resident Q to the caller: pooling dispatches
+            # against it directly (no download -> re-upload round-trip) and
+            # the host copy for stats happens once, behind the pooling
+            # dispatch.  predict_video_source consumes and clears the field.
+            self._scan_Q_dev = Q_all[:, :, :N_frames]
         except Exception as e:
             # an HBM-oversubscribed dispatch must degrade to streaming, not
             # kill the job: the budget above is an estimate, not a guarantee
