@@ -378,7 +378,9 @@ class fvvdp:
                 Q_per_ch, heat = fn(t[0], r[0], jnp.asarray(gaze))
             else:
                 Q_per_ch, heat = fn(t[0], r[0])
-            Q_per_ch = np.asarray(Q_per_ch)
+            # Q stays ON DEVICE: pooling dispatches against it directly and
+            # the stats copy happens once at the end — downloading here and
+            # re-uploading for pooling costs two transport round-trips
             if self.do_heatmap:
                 if self.device_heatmap:
                     heat_dev_blocks.append(heat)
