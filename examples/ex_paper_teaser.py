@@ -11,13 +11,6 @@ import sys
 import numpy as np
 
 from ex_utils import imgaussblur, imnoise
-# runnable from a source checkout: add the repo root when not installed
-import importlib.util as _ilu
-import os as _os
-import sys as _sys
-if _ilu.find_spec("fovvideovdp_tpu") is None:
-    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
-        _os.path.abspath(__file__))))
 from fovvideovdp_tpu import fvvdp, load_image_as_array
 from fovvideovdp_tpu.pupsnr import pu_psnr
 

@@ -123,7 +123,6 @@ class fvvdp:
                            for o in self.omega)
         self._cores: Dict = {}
         self._shard_fns: Dict = {}  # compiled sharded scorers, keyed per mesh
-        self._scan_Q_dev = None  # device-resident Q handed over by the scan
 
     # ------------------------------------------------------------------
     def load_config(self, parameter_overrides=None):
@@ -334,6 +333,7 @@ class fvvdp:
         heatmap_frames = [None] * N_frames \
             if self.do_heatmap and not self.device_heatmap else None
         heat_dev_blocks = [] if self.do_heatmap and self.device_heatmap else None
+        scan_jod = None  # set by the scan path: pooled JOD, device scalar
 
         log_c = self.contrast == "log"
 
@@ -445,12 +445,15 @@ class fvvdp:
             stream_idx = pad_idx[fl - 1:]  # frame index feeding each output frame
 
             self._exec_path = "stream"  # introspection for tests/diagnostics
-            scanned = (not checkpoint_path
-                       and self._try_scan_video(
-                           vid_source, core, filt, fl, B, pad_idx, stream_idx,
-                           Q_per_ch, static_gaze, fixation_point, pass_gaze,
-                           log_c, N_frames, height, width, mesh=mesh))
-            if not scanned:
+            # On success the scan returns its POOLED device scalar (Q_per_ch
+            # is filled as a side effect); None means "use the streaming
+            # loop".  The scalar rides to the common tail below — no hidden
+            # instance state, safe for sequential reuse of one metric.
+            scan_jod = None if checkpoint_path else self._try_scan_video(
+                vid_source, core, filt, fl, B, pad_idx, stream_idx,
+                Q_per_ch, static_gaze, fixation_point, pass_gaze,
+                log_c, N_frames, height, width, mesh=mesh)
+            if scan_jod is None:
                 if checkpoint_path and self.do_heatmap:
                     raise RuntimeError("checkpoint_path is not supported together "
                                        "with heatmaps")
@@ -558,15 +561,8 @@ class fvvdp:
                 if checkpoint_path and os.path.isfile(checkpoint_path):
                     os.remove(checkpoint_path)
 
-        Q_dev = getattr(self, "_scan_Q_dev", None)
-        if Q_dev is not None:
-            # scan path: pool the device-resident Q (dispatch queues behind
-            # the scan program), then download the per-channel features once
-            self._scan_Q_dev = None
-            Q_jod = self.do_pooling_and_jods(Q_dev)
-            Q_per_ch[:] = np.asarray(Q_dev)
-        else:
-            Q_jod = self.do_pooling_and_jods(jnp.asarray(Q_per_ch))
+        Q_jod = scan_jod if scan_jod is not None \
+            else self.do_pooling_and_jods(jnp.asarray(Q_per_ch))
 
         stats = {
             "Q_per_ch": np.asarray(Q_per_ch),
@@ -753,8 +749,10 @@ class fvvdp:
         override the capacity bound with $FVVDP_SCAN_HBM_CAP_BYTES; the
         deprecated $FVVDP_SCAN_MAX_BYTES is still honoured as a
         luminance-chunk budget, its original meaning).  Fills
-        ``Q_per_ch`` and returns True, or returns False to fall back to the
-        pipelined streaming loop.  Each chunk's luminance is gathered to
+        ``Q_per_ch`` and returns the POOLED JOD (device scalar; pooling is
+        dispatched against the device-resident Q so the host never
+        round-trips it), or returns None to fall back to the pipelined
+        streaming loop.  Each chunk's luminance is gathered to
         fp32 just before its dispatch and freed after, so the peak working
         set is one chunk — NOT the whole video — and any video length can
         scan.  Each chunk's scan body is the streaming step itself
@@ -766,9 +764,9 @@ class fvvdp:
         Set FVVDP_DISABLE_SCAN=1 to force the streaming loop.
         """
         if self.do_heatmap or not vid_source.luminance_is_device_resident():
-            return False
+            return None
         if os.environ.get("FVVDP_DISABLE_SCAN", "") == "1":
-            return False
+            return None
         n_blocks = -(-N_frames // B)
         total = n_blocks * B
         px = height * width
@@ -813,7 +811,7 @@ class fvvdp:
         if headroom < 2 * margin * per_block_pair:
             # a 1-block chunk would just be the streaming loop without its
             # readback/decode pipelining — not worth taking
-            return False
+            return None
         rungs = tuple(k for k in self._SCAN_CHUNK_BLOCKS
                       if k * margin * per_block_pair <= headroom)
         # padded source schedule: fl-1 warm-up frames + the per-output-frame
@@ -896,11 +894,16 @@ class fvvdp:
                     carry_t.block_until_ready()
             Q_all = Q_chunks[0] if len(Q_chunks) == 1 \
                 else jnp.concatenate(Q_chunks, axis=2)
-            # hand the device-resident Q to the caller: pooling dispatches
-            # against it directly (no download -> re-upload round-trip) and
-            # the host copy for stats happens once, behind the pooling
-            # dispatch.  predict_video_source consumes and clears the field.
-            self._scan_Q_dev = Q_all[:, :, :N_frames]
+            Q_dev = Q_all[:, :, :N_frames]
+            # pooling dispatches against the device-resident Q first (no
+            # download -> re-upload round-trip); the blocking host copy for
+            # Q_per_ch then runs INSIDE this try on purpose: a deferred
+            # execution-time OOM from the (unsynced) last chunk surfaces at
+            # this sync, where the except below can still degrade to the
+            # streaming loop — r4's observed hardware OOM surfaced exactly
+            # at a post-dispatch sync (docs/hw_campaign_r4.log stage 2).
+            jod_dev = self.do_pooling_and_jods(Q_dev)
+            Q_per_ch[:] = np.asarray(Q_dev)
         except Exception as e:
             # an HBM-oversubscribed dispatch must degrade to streaming, not
             # kill the job: the budget above is an estimate, not a guarantee
@@ -931,11 +934,11 @@ class fvvdp:
             e.__cause__ = e.__context__ = None
             del e, linked
             head_t = head_r = carry_t = carry_r = t_k = r_k = None
-            Q_chunks = None
+            Q_chunks = Q_all = Q_dev = jod_dev = None
             self._wait_for_device_memory()
-            return False
+            return None
         self._exec_path = "scan"
-        return True
+        return jod_dev
 
     def _gaze_for_frames(self, fixation_point: np.ndarray, start: int, count: int,
                          n_frames: int) -> np.ndarray:
